@@ -1,1 +1,17 @@
+from gym_craftingworld_tpu.api.gym_env import (
+    CraftingWorldEnvAltObs,
+    CraftingWorldEnvFlat,
+    CraftingWorldEnvOneHot,
+    CraftingWorldEnvRay,
+)
+from gym_craftingworld_tpu.api.registry import make, register, register_gymnasium
 
+__all__ = [
+    "CraftingWorldEnvAltObs",
+    "CraftingWorldEnvFlat",
+    "CraftingWorldEnvOneHot",
+    "CraftingWorldEnvRay",
+    "make",
+    "register",
+    "register_gymnasium",
+]

@@ -1,0 +1,472 @@
+"""Classic-Gym-compatible env façades over the batched TPU core.
+
+Four variants mirroring the reference classes and their observation encodings:
+
+  * :class:`CraftingWorldEnvRay`    — dict of 4 RGB images, 4x4-px tiles
+    (craftingworld_ray.py:53-799)
+  * :class:`CraftingWorldEnvFlat`   — 8x8 grid, raw image observation
+    (craftingworld_flat.py:46-295)
+  * :class:`CraftingWorldEnvOneHot` — dict of 12-channel one-hot states; the
+    desired goal is the imagined final *state* (carftingworld_onehot.py:53-810)
+  * :class:`CraftingWorldEnvAltObs` — 3x3-px tiles + status strip, optional
+    ``stacked_obs`` (craftingworld_altobs.py:85-886)
+
+API surface matches the reference: ``reset() -> obs``,
+``step(a) -> (obs, reward, done, info)``, ``render()``, ``seed()``,
+``compute_reward()``, ``imagine_obs()``, ``allow_gif_storage()``, plus the
+live attributes RL code reads (``obs_one_hot``, ``agent_pos``,
+``desired_goal_vector``, ``achieved_goal_vector``, ``observation_vector``...).
+
+Differences by design (recorded deviations):
+  * pure-functional core — observations are fresh arrays each step, never
+    aliased views of mutable state (reference §2.7 hazard removed);
+  * ``batch_size > 1`` steps many envs in lockstep through the same API
+    (arrays gain a leading batch axis);
+  * images are uint8 (AltObs int16 — see render/raster.py), not int64;
+  * a custom ``task_list`` ordering is not supported: the reference's own task
+    evaluation hard-codes canonical bit indices (craftingworld_ray.py:646-703),
+    so reordering breaks it there too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gym_craftingworld_tpu import constants as C
+from gym_craftingworld_tpu.api import spaces
+from gym_craftingworld_tpu.config import EnvConfig
+from gym_craftingworld_tpu.core import reset as reset_mod
+from gym_craftingworld_tpu.core import state as state_mod
+from gym_craftingworld_tpu.core.step import step as core_step
+from gym_craftingworld_tpu.render import raster
+from gym_craftingworld_tpu.utils.gif import GifRecorder
+
+TASK_LIST = list(C.TASK_LIST)
+
+
+class CraftingWorldEnvRay:
+    """Goal-conditioned pixel-observation CraftingWorld (primary variant)."""
+
+    metadata = {"render.modes": ["human", "Non"]}
+
+    _DEFAULT_SIZE = C.DEFAULT_SIZE
+    _DEFAULT_MAX_STEPS = C.DEFAULT_MAX_STEPS
+
+    def __init__(
+        self,
+        size=None,
+        fixed_init_state=0,
+        max_steps=None,
+        store_gif=False,
+        render_save_rate=1,
+        task_list=None,
+        selected_tasks=None,
+        number_of_tasks=None,
+        stacking=True,
+        reward_style=None,
+        seed=None,
+        batch_size=1,
+    ):
+        size = size or self._DEFAULT_SIZE
+        max_steps = max_steps or self._DEFAULT_MAX_STEPS
+        task_list = list(task_list) if task_list is not None else TASK_LIST
+        if task_list != TASK_LIST:
+            raise NotImplementedError(
+                "custom task_list ordering is unsupported: the reference's "
+                "eval_task_edit hard-codes canonical task indices "
+                "(craftingworld_ray.py:646-703)"
+            )
+        selected_tasks = (
+            list(selected_tasks) if selected_tasks is not None else task_list
+        )
+        n_tasks = (
+            number_of_tasks if number_of_tasks is not None else len(selected_tasks)
+        )
+        self.task_list = task_list
+        self.selected_tasks = selected_tasks
+        self.cfg = EnvConfig(
+            height=size[0],
+            width=size[1],
+            max_steps=max_steps,
+            stacking=stacking,
+            selected_task_indices=tuple(
+                task_list.index(t) for t in selected_tasks
+            ),
+            number_of_tasks=min(n_tasks, len(selected_tasks)),
+            reward_equal=(reward_style is None),
+        )
+        self.batch_size = int(batch_size)
+        self.MAX_STEPS = max_steps
+        self.STATE_W, self.STATE_H = size
+
+        self.seed(seed)
+
+        self.fixed_init_state = int(fixed_init_state)
+        self._pool = None
+        if self.fixed_init_state:
+            self._key, sub = jax.random.split(self._key)
+            self._pool = reset_mod.generate_pool(self.cfg, sub, self.fixed_init_state)
+
+        self.action_space = spaces.Discrete(C.N_ACTIONS)
+        self.observation_space = self._build_observation_space()
+        self.observation_vector_space = self._build_vector_space()
+
+        self._state = None
+        self._cached = {}
+        self.ep_no = 0
+        self.step_num = 0
+
+        self.store_gif = False
+        self.render_save_rate = render_save_rate
+        self._recorder = None
+        self.env_id = None
+        if store_gif:
+            self.allow_gif_storage()
+
+    # -- spaces ------------------------------------------------------------
+
+    def _pixel_shape(self):
+        return (self.STATE_W * 4, self.STATE_H * 4, 3)
+
+    def _build_observation_space(self):
+        box = spaces.Box(0, 255, self._pixel_shape(), dtype=np.uint8)
+        return spaces.Dict(
+            dict(
+                observation=box,
+                desired_goal=box,
+                achieved_goal=box,
+                init_observation=box,
+            )
+        )
+
+    def _build_vector_space(self):
+        state_box = spaces.Box(
+            0, 1, (self.STATE_W, self.STATE_H, C.N_CHANNELS), dtype=np.uint8
+        )
+        goal_box = spaces.Box(0, 1, (1, C.N_TASKS), dtype=np.uint8)
+        return spaces.Dict(
+            dict(
+                observation=state_box,
+                desired_goal=goal_box,
+                achieved_goal=goal_box,
+                init_observation=state_box,
+            )
+        )
+
+    # -- seeding -----------------------------------------------------------
+
+    def seed(self, seed=None):
+        if seed is None:
+            seed = int(np.random.SeedSequence().entropy % (2**31))
+        self._seed = seed
+        self._key = jax.random.PRNGKey(seed)
+        return [seed]
+
+    # -- core plumbing -----------------------------------------------------
+
+    def _next_keys(self):
+        self._key, sub = jax.random.split(self._key)
+        return jax.random.split(sub, self.batch_size)
+
+    def _do_reset(self):
+        keys = self._next_keys()
+        if self._pool is not None:
+            return reset_mod.reset_from_pool(self.cfg, keys, *self._pool)
+        return reset_mod.reset(self.cfg, keys)
+
+    def _unbatch(self, arr):
+        """Return numpy; drop the leading batch axis when batch_size == 1."""
+        arr = np.asarray(arr)
+        return arr[0] if self.batch_size == 1 else arr
+
+    # -- reference-compatible live attributes ------------------------------
+
+    @property
+    def obs_one_hot(self):
+        return self._unbatch(
+            raster.render_onehot(
+                self._state.objects, self._state.agent, self._state.holding
+            )
+        )
+
+    @property
+    def agent_pos(self):
+        a = np.asarray(self._state.agent)
+        return tuple(a[0]) if self.batch_size == 1 else a
+
+    @property
+    def desired_goal_vector(self):
+        d = np.asarray(self._state.desired)
+        return d[0][None] if self.batch_size == 1 else d
+
+    @property
+    def achieved_goal_vector(self):
+        a = np.asarray(self._state.achieved)
+        return a[0][None] if self.batch_size == 1 else a
+
+    @property
+    def INIT_OBS_VECTOR(self):
+        init_obj, init_agent = raster._init_views(self._state)
+        return self._unbatch(
+            raster.render_onehot(
+                init_obj, init_agent, jnp.zeros_like(self._state.holding)
+            )
+        )
+
+    @property
+    def observation_vector(self):
+        return {
+            "observation": self.obs_one_hot,
+            "desired_goal": self.desired_goal_vector,
+            "achieved_goal": self.achieved_goal_vector,
+            "init_observation": self.INIT_OBS_VECTOR,
+        }
+
+    @property
+    def state(self):
+        """The packed device state (power-user access)."""
+        return self._state
+
+    # -- observations per variant ------------------------------------------
+
+    def _images(self):
+        return raster.state_images_ray(self._state)
+
+    def _observation(self):
+        imgs = self._images()
+        obs = {k: self._unbatch(v) for k, v in imgs.items()}
+        self._cached["observation"] = obs
+        return obs
+
+    @property
+    def observation(self):
+        return self._cached.get("observation") or self._observation()
+
+    def imagine_obs(self):
+        """The rendered imagined goal (reference imagine_obs return value)."""
+        return self.observation["desired_goal"]
+
+    # -- gym API -----------------------------------------------------------
+
+    def reset(self, render_next=False):
+        if (
+            self._recorder is not None
+            and self.step_num != 0
+            and self._recorder.should_record(self.ep_no)
+        ):
+            self._recorder.save_episode(
+                self.ep_no,
+                self.step_num,
+                self.desired_goal_vector[..., 0, :]
+                if self.batch_size > 1
+                else self.desired_goal_vector[0],
+                self.achieved_goal_vector[..., 0, :]
+                if self.batch_size > 1
+                else self.achieved_goal_vector[0],
+            )
+
+        self._state = self._do_reset()
+        self._cached = {}
+        if self.step_num != 0:
+            self.ep_no += 1
+        self.step_num = 0
+
+        obs = self._observation()
+        if self._recorder is not None and self._recorder.should_record(self.ep_no):
+            self._recorder.reset_episode()
+            self._record_frame(action_label=None, reward=0)
+        return obs
+
+    def step(self, action):
+        if np.isscalar(action) or np.ndim(action) == 0:
+            actions = jnp.full((self.batch_size,), int(action), jnp.int32)
+        else:
+            actions = jnp.asarray(action, jnp.int32)
+        self._state, res = core_step(self.cfg, self._state, actions)
+        self._cached = {}
+        self.step_num += 1
+
+        reward = self._unbatch(res.reward)
+        done = self._unbatch(res.done)
+        if self.batch_size == 1:
+            reward, done = int(reward), bool(done)
+        obs = self._observation()
+        info = {
+            "task_success": self.achieved_goal_vector,
+            "desired_goal": self.desired_goal_vector,
+            "achieved_goal": self.achieved_goal_vector,
+        }
+        if self._recorder is not None and self._recorder.should_record(self.ep_no):
+            label = C.ACTION_NAMES[int(np.asarray(actions)[0])]
+            self._record_frame(action_label=label, reward=np.max(reward))
+        return obs, reward, done, info
+
+    def render(self, state=None, mode="Non", tile_size=4):
+        """Render the current observation, or a reference-style one-hot state."""
+        if state is None:
+            img = self.observation["observation"]
+            img = img if self.batch_size == 1 else img[0]
+        else:
+            objects, agent, holding = state_mod.packed_from_onehot(np.asarray(state))
+            img = np.asarray(
+                self._render_fn(
+                    jnp.asarray(objects)[None],
+                    jnp.asarray(agent)[None],
+                    jnp.asarray([holding], jnp.int32),
+                )
+            )[0]
+        if mode == "human":
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(1)
+            ax.imshow(img)
+            fig.show()
+        return img
+
+    _render_fn = staticmethod(raster.render_ray)
+
+    def compute_reward(self, achieved_goal, desired_goal, info=None):
+        achieved = np.asarray(achieved_goal).reshape(-1)
+        desired = np.asarray(desired_goal).reshape(-1)
+        if self.cfg.reward_equal:
+            ok = np.array_equal(achieved, desired)
+        else:
+            ok = np.all(desired <= achieved)
+        return self.MAX_STEPS if ok else -1
+
+    def close(self):
+        pass
+
+    # -- gif recording -----------------------------------------------------
+
+    def allow_gif_storage(self, store_gif=True):
+        self.store_gif = store_gif
+        if store_gif:
+            self._key, sub = jax.random.split(self._key)
+            env_id = int(jax.random.randint(sub, (), 0, 1_000_000))
+            self._recorder = GifRecorder(
+                env_id=env_id, save_rate=self.render_save_rate
+            )
+            self.env_id = env_id
+
+    def _frame_images(self):
+        obs = self.observation
+        img = obs["observation"]
+        goal = obs["desired_goal"]
+        if self.batch_size > 1:
+            img, goal = img[0], goal[0]
+        return img, goal
+
+    def _record_frame(self, action_label, reward):
+        img, goal = self._frame_images()
+        d = self.desired_goal_vector
+        a = self.achieved_goal_vector
+        if self.batch_size > 1:
+            d, a = d[0], a[0]
+        else:
+            d, a = d[0], a[0]
+        self._recorder.add_frame(
+            img, goal, self.ep_no, self.step_num, action_label, reward, d, a
+        )
+
+
+class CraftingWorldEnvFlat(CraftingWorldEnvRay):
+    """8x8 variant whose observation is the raw image (craftingworld_flat.py:57,119,185)."""
+
+    _DEFAULT_SIZE = C.FLAT_SIZE
+    _DEFAULT_MAX_STEPS = C.FLAT_MAX_STEPS
+
+    def __init__(self, *args, **kwargs):
+        kwargs.pop("fixed_init_state", None)  # Flat has no fixed-init path
+        super().__init__(*args, **kwargs)
+
+    def _build_observation_space(self):
+        return spaces.Box(0, 255, self._pixel_shape(), dtype=np.uint8)
+
+    def reset(self, render_next=False):
+        obs = super().reset(render_next)
+        return obs["observation"]
+
+    def step(self, action):
+        obs, reward, done, info = super().step(action)
+        return obs["observation"], reward, done, info
+
+
+class CraftingWorldEnvOneHot(CraftingWorldEnvRay):
+    """One-hot observation variant: the obs dict carries raw (H, W, 12) states;
+    desired_goal is the imagined final one-hot state (carftingworld_onehot.py:202-207)."""
+
+    def _build_observation_space(self):
+        box = spaces.Box(
+            0, 1, (self.STATE_W, self.STATE_H, C.N_CHANNELS), dtype=np.uint8
+        )
+        return spaces.Dict(
+            dict(
+                observation=box,
+                desired_goal=box,
+                achieved_goal=box,
+                init_observation=box,
+            )
+        )
+
+    def _images(self):
+        return raster.state_obs_onehot(self._state)
+
+    def _frame_images(self):
+        # GIFs still picture the world: fall back to pixel renders.
+        imgs = raster.state_images_ray(self._state)
+        img, goal = np.asarray(imgs["observation"]), np.asarray(imgs["desired_goal"])
+        return img[0], goal[0]
+
+
+class CraftingWorldEnvAltObs(CraftingWorldEnvRay):
+    """3x3-px tile observation with a bottom status strip; optional stacked obs
+    (craftingworld_altobs.py:115-119,258-259,408-411)."""
+
+    def __init__(self, *args, stacked_obs=False, **kwargs):
+        self.stacked_obs = stacked_obs
+        super().__init__(*args, **kwargs)
+
+    def _pixel_shape(self):
+        return ((self.STATE_W + 1) * 3, self.STATE_H * 3, 3)
+
+    def _build_observation_space(self):
+        box = spaces.Box(0, 510, self._pixel_shape(), dtype=np.int16)
+        if self.stacked_obs:
+            return spaces.Box(0, 510, (4,) + self._pixel_shape(), dtype=np.int16)
+        return spaces.Dict(
+            dict(
+                observation=box,
+                desired_goal=box,
+                achieved_goal=box,
+                init_observation=box,
+            )
+        )
+
+    _render_fn = staticmethod(raster.render_altobs)
+
+    def _images(self):
+        return raster.state_images_altobs(self._state)
+
+    def _stack(self, obs):
+        return np.stack(
+            [
+                obs["observation"],
+                obs["desired_goal"],
+                obs["achieved_goal"],
+                obs["init_observation"],
+            ]
+        )
+
+    def reset(self, render_next=False):
+        obs = super().reset(render_next)
+        return self._stack(obs) if self.stacked_obs else obs
+
+    def step(self, action):
+        obs, reward, done, info = super().step(action)
+        if self.stacked_obs:
+            obs = self._stack(obs)
+        return obs, reward, done, info

@@ -92,6 +92,65 @@ def _reset_one(cfg: EnvConfig, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_one_from_pool(
+    cfg: EnvConfig, key: jax.Array, pool_objects: jax.Array, pool_agent: jax.Array
+) -> EnvState:
+    """Reset drawing the world uniformly from a pre-generated pool
+    (reference ``fixed_init_state`` path, craftingworld_ray.py:116-118,630-644).
+
+    Draw order mirrors the reference: task sampling first, then one randint
+    into the pool (instead of the placement shuffle).
+    """
+    k_task, k_pick, k_goal, k_next = jax.random.split(key, 4)
+    desired = sample_desired(cfg, k_task)
+    i = jax.random.randint(k_pick, (), 0, pool_objects.shape[0])
+    objects = pool_objects[i]
+    agent = pool_agent[i]
+    # Pool worlds come from sample_world: the agent's cell holds no object.
+    init_objects = objects.at[agent[0], agent[1]].set(C.AGENT_INIT_MARK)
+
+    agent_idx = agent[0] * cfg.width + agent[1]
+    goal_flat, goal_agent_idx = imagine_goal(
+        k_goal, objects.reshape(-1), agent_idx, desired
+    )
+    goal_agent = jnp.stack(
+        [goal_agent_idx // cfg.width, goal_agent_idx % cfg.width]
+    ).astype(jnp.int32)
+
+    return EnvState(
+        objects=objects,
+        agent=agent,
+        holding=jnp.int32(0),
+        desired=desired,
+        achieved=jnp.zeros((C.N_TASKS,), jnp.int8),
+        init_objects=init_objects,
+        init_agent=agent,
+        goal_objects=goal_flat.reshape(cfg.height, cfg.width),
+        goal_agent=goal_agent,
+        step_num=jnp.int32(0),
+        rng=jax.random.key_data(k_next),
+    )
+
+
+@partial(jax.jit, static_argnums=0)
+def reset_from_pool(
+    cfg: EnvConfig, keys: jax.Array, pool_objects: jax.Array, pool_agent: jax.Array
+) -> EnvState:
+    """Batched fixed-init-state reset: each env draws one pool entry uniformly."""
+    if keys.dtype == jnp.uint32:
+        keys = jax.vmap(jax.random.wrap_key_data)(keys)
+    return jax.vmap(partial(_reset_one_from_pool, cfg), in_axes=(0, None, None))(
+        keys, pool_objects, pool_agent
+    )
+
+
+def generate_pool(cfg: EnvConfig, key: jax.Array, num_states: int):
+    """Pre-generate ``num_states`` worlds (reference generate_fixed_states)."""
+    keys = jax.random.split(key, num_states)
+    objects, agent, _ = jax.vmap(partial(sample_world, cfg))(keys)
+    return objects, agent
+
+
 @partial(jax.jit, static_argnums=0)
 def reset(cfg: EnvConfig, keys: jax.Array) -> EnvState:
     """Batched reset from per-env keys.
