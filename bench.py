@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Headline benchmark: env-steps/s/chip at 16k parallel envs (BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against the reference implementation's single-env
+CPU stepping rate, measured here directly (the reference publishes no numbers
+— BASELINE.md), cached in BASELINE_MEASURED.json after the first run.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+B = int(os.environ.get("BENCH_ENVS", 16384))
+T = int(os.environ.get("BENCH_STEPS", 256))
+ITERS = int(os.environ.get("BENCH_ITERS", 5))
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BASELINE_MEASURED.json")
+
+
+def measure_reference_steps_per_s(n_steps: int = 3000) -> float:
+    """Single-env stepping rate of the reference implementation (CPU)."""
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            return json.load(f)["reference_single_env_steps_per_s"]
+    import numpy as np
+
+    from gym_craftingworld_tpu.parity import oracle
+
+    if not oracle.reference_available():
+        return float("nan")
+    env = oracle.make_reference_env("ray", seed=0)
+    env.reset()
+    rng = np.random.RandomState(0)
+    actions = rng.randint(6, size=n_steps)
+    t0 = time.time()
+    for a in actions:
+        _, _, done, _ = env.step(int(a))
+        if done:
+            env.reset()
+    rate = n_steps / (time.time() - t0)
+    with open(_CACHE, "w") as f:
+        json.dump({"reference_single_env_steps_per_s": rate,
+                   "n_steps": n_steps}, f)
+    return rate
+
+
+def main():
+    baseline = measure_reference_steps_per_s()
+
+    import jax
+
+    from gym_craftingworld_tpu import ray_config, reset_from_seed, rollout_random
+
+    cfg = ray_config()
+    state = reset_from_seed(cfg, 0, B)
+    key = jax.random.PRNGKey(0)
+    state, out = rollout_random(cfg, state, key, T)  # compile + warm
+    jax.block_until_ready(out.reward)
+
+    t0 = time.time()
+    for i in range(ITERS):
+        key = jax.random.fold_in(key, i)
+        state, out = rollout_random(cfg, state, key, T)
+    jax.block_until_ready(out.reward)
+    dt = time.time() - t0
+    steps_per_s = B * T * ITERS / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"env_steps_per_s_per_chip_{B//1024}k_envs",
+                "value": round(steps_per_s),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_s / baseline, 1)
+                if baseline == baseline
+                else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Device-mesh construction and env-batch sharding.
+
+The reference has no parallelism of any kind (single env object mutating numpy
+in place). The TPU-native scaling axis is the *env batch*: every EnvState leaf
+carries the batch on axis 0, so sharding the whole pytree with
+``NamedSharding(P('env'))`` partitions the world across chips with **zero**
+cross-chip communication in the stepping path — env stepping is embarrassingly
+parallel; collectives appear only in the learner (gradient psum over the same
+axis, see train/ppo.py).
+
+Multi-host: call :func:`initialize_distributed` first (``jax.distributed``),
+then meshes span all processes' devices and ``reset_sharded`` lays the batch
+out so each host touches only its local shard (ICI within hosts, DCN between).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gym_craftingworld_tpu.config import EnvConfig
+from gym_craftingworld_tpu.core import reset as reset_mod
+from gym_craftingworld_tpu.core.state import EnvState
+
+ENV_AXIS = "env"
+
+
+def initialize_distributed(**kwargs):
+    """Multi-host bring-up (no-op when single-process)."""
+    if jax.process_count() == 1 and not kwargs:
+        return
+    jax.distributed.initialize(**kwargs)
+
+
+def make_env_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the env axis (data parallel over the batch)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (ENV_AXIS,))
+
+
+def env_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for batched leaves: partition axis 0 over the env axis."""
+    return NamedSharding(mesh, P(ENV_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_state(state: EnvState, mesh: Mesh) -> EnvState:
+    """Lay an existing batched state out over the mesh."""
+    s = env_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), state)
+
+
+def reset_sharded(cfg: EnvConfig, seed: int, batch_size: int, mesh: Mesh) -> EnvState:
+    """Batched reset whose *output* is already sharded over the mesh.
+
+    The per-env keys are placed with the target sharding before the jitted
+    reset runs, so XLA computes each shard on its own device — no gather, no
+    replicated work, and trajectories are independent of the mesh layout
+    (per-env keys are derived from the seed alone).
+    """
+    if batch_size % mesh.size != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must divide evenly over {mesh.size} devices"
+        )
+    keys = jax.random.split(jax.random.PRNGKey(seed), batch_size)
+    keys = jax.device_put(jax.random.key_data(keys), env_sharding(mesh))
+    return reset_mod.reset(cfg, keys)
+
+
+def scaling_report(cfg: EnvConfig, batch_per_device: int, num_steps: int = 64):
+    """Measure env-steps/s at 1 device vs all devices (scaling efficiency)."""
+    import time
+
+    from gym_craftingworld_tpu.core.rollout import rollout_random
+
+    results = {}
+    for n in {1, jax.device_count()}:
+        mesh = make_env_mesh(n)
+        B = batch_per_device * n
+        state = reset_sharded(cfg, 0, B, mesh)
+        key = jax.random.PRNGKey(1)
+        state, out = rollout_random(cfg, state, key, num_steps)  # compile
+        jax.block_until_ready(out.reward)
+        t0 = time.time()
+        state, out = rollout_random(cfg, state, key, num_steps)
+        jax.block_until_ready(out.reward)
+        dt = time.time() - t0
+        results[n] = B * num_steps / dt
+    n_max = jax.device_count()
+    results["efficiency"] = results[n_max] / (results[1] * n_max)
+    return results

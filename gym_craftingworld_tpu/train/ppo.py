@@ -1,0 +1,202 @@
+"""PPO over the sharded env batch.
+
+One fully-jitted ``train_step``: on-device rollout (lax.scan over the batched
+env step with auto-reset), GAE, and clipped-surrogate updates over shuffled
+minibatches. The env batch (and therefore every rollout tensor) is sharded
+over the mesh's 'env' axis; parameters are replicated, so XLA inserts exactly
+one gradient ``psum`` over ICI per minibatch — the only cross-chip
+communication in the system (env stepping itself is communication-free).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gym_craftingworld_tpu.config import EnvConfig
+from gym_craftingworld_tpu.core.reset import _reset_one
+from gym_craftingworld_tpu.core.state import EnvState
+from gym_craftingworld_tpu.core.step import _step_one
+from gym_craftingworld_tpu.models.actor_critic import ActorCritic, obs_features
+
+
+class PPOConfig(NamedTuple):
+    rollout_steps: int = 64
+    update_epochs: int = 2
+    num_minibatches: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+    hidden: int = 512
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    update_idx: jax.Array
+
+
+def make_optimizer(ppo: PPOConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(ppo.max_grad_norm),
+        optax.adam(ppo.lr),
+    )
+
+
+def init_train_state(key, cfg: EnvConfig, ppo: PPOConfig) -> TrainState:
+    from gym_craftingworld_tpu.models.actor_critic import init_params
+
+    _, params = init_params(key, cfg.height, cfg.width, ppo.hidden)
+    opt_state = make_optimizer(ppo).init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      update_idx=jnp.int32(0))
+
+
+def _collect(cfg: EnvConfig, ppo: PPOConfig, model: ActorCritic, params,
+             env_state: EnvState, key):
+    """On-device rollout of ``rollout_steps``; auto-resets finished episodes."""
+
+    def body(carry, _):
+        st, k = carry
+        k, k_act = jax.random.split(k)
+        obs = obs_features(st)
+        logits, value = model.apply(params, obs)
+        action = jax.random.categorical(k_act, logits)
+        log_prob = jax.nn.log_softmax(logits)[
+            jnp.arange(logits.shape[0]), action
+        ]
+        st2, res = jax.vmap(partial(_step_one, cfg))(st, action.astype(jnp.int32))
+        # normalise reward scale: success = +1, step cost ~ -1/max_steps
+        reward = jnp.where(
+            res.reward == cfg.max_steps, 1.0, -1.0 / cfg.max_steps
+        ).astype(jnp.float32)
+        keys = jax.vmap(jax.random.wrap_key_data)(st2.rng)
+        fresh = jax.vmap(partial(_reset_one, cfg))(keys)
+        st2 = jax.tree.map(
+            lambda f, s: jnp.where(
+                res.done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
+            ),
+            fresh,
+            st2,
+        )
+        tr = Transition(obs=obs, action=action, log_prob=log_prob, value=value,
+                        reward=reward, done=res.done)
+        return (st2, k), tr
+
+    (env_state, key), traj = jax.lax.scan(
+        body, (env_state, key), None, length=ppo.rollout_steps
+    )
+    return env_state, traj
+
+
+def _gae(ppo: PPOConfig, traj: Transition, last_value: jax.Array):
+    def body(carry, tr):
+        gae, next_value = carry
+        not_done = 1.0 - tr.done.astype(jnp.float32)
+        delta = tr.reward + ppo.gamma * next_value * not_done - tr.value
+        gae = delta + ppo.gamma * ppo.gae_lambda * not_done * gae
+        return (gae, tr.value), gae
+
+    (_, _), advantages = jax.lax.scan(
+        body, (jnp.zeros_like(last_value), last_value), traj, reverse=True
+    )
+    return advantages, advantages + traj.value
+
+
+def _ppo_loss(ppo: PPOConfig, model: ActorCritic, params, batch):
+    obs, action, old_log_prob, old_value, adv, ret = batch
+    logits, value = model.apply(params, obs)
+    log_probs = jax.nn.log_softmax(logits)
+    log_prob = log_probs[jnp.arange(logits.shape[0]), action]
+    ratio = jnp.exp(log_prob - old_log_prob)
+    adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+    pg = -jnp.minimum(
+        ratio * adv_n,
+        jnp.clip(ratio, 1 - ppo.clip_eps, 1 + ppo.clip_eps) * adv_n,
+    ).mean()
+    v_clipped = old_value + jnp.clip(
+        value - old_value, -ppo.clip_eps, ppo.clip_eps
+    )
+    v_loss = 0.5 * jnp.maximum(
+        (value - ret) ** 2, (v_clipped - ret) ** 2
+    ).mean()
+    entropy = -(jnp.exp(log_probs) * log_probs).sum(-1).mean()
+    loss = pg + ppo.vf_coef * v_loss - ppo.ent_coef * entropy
+    return loss, {"pg_loss": pg, "v_loss": v_loss, "entropy": entropy}
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
+def train_step(cfg: EnvConfig, ppo: PPOConfig, ts: TrainState,
+               env_state: EnvState, key):
+    """One PPO iteration: rollout → GAE → minibatched clipped updates."""
+    model = ActorCritic(hidden=ppo.hidden)
+    key, k_roll, k_perm = jax.random.split(key, 3)
+    env_state, traj = _collect(cfg, ppo, model, ts.params, env_state, k_roll)
+    _, last_value = model.apply(ts.params, obs_features(env_state))
+    adv, ret = _gae(ppo, traj, last_value)
+
+    T, B = traj.action.shape
+    flat = (
+        traj.obs.reshape(T * B, -1),
+        traj.action.reshape(T * B),
+        traj.log_prob.reshape(T * B),
+        traj.value.reshape(T * B),
+        adv.reshape(T * B),
+        ret.reshape(T * B),
+    )
+    optimizer = make_optimizer(ppo)
+
+    def epoch(carry, k_e):
+        params, opt_state = carry
+        perm = jax.random.permutation(k_e, T * B)
+        mb_size = (T * B) // ppo.num_minibatches
+
+        def minibatch(carry, i):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
+            batch = tuple(x[idx] for x in flat)
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: _ppo_loss(ppo, model, p, batch), has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, aux)
+
+        (params, opt_state), (losses, auxes) = jax.lax.scan(
+            minibatch, (params, opt_state), jnp.arange(ppo.num_minibatches)
+        )
+        return (params, opt_state), (losses, auxes)
+
+    keys_e = jax.random.split(k_perm, ppo.update_epochs)
+    (params, opt_state), (losses, auxes) = jax.lax.scan(
+        epoch, (ts.params, ts.opt_state), keys_e
+    )
+
+    metrics = {
+        "loss": losses.mean(),
+        "reward_mean": traj.reward.mean(),
+        "episode_done_frac": traj.done.mean(),
+        "success_rate": (traj.reward > 0.5).sum()
+        / jnp.maximum(traj.done.sum(), 1),
+        **{k: v.mean() for k, v in auxes.items()},
+    }
+    ts = TrainState(params=params, opt_state=opt_state,
+                    update_idx=ts.update_idx + 1)
+    return ts, env_state, key, metrics
