@@ -57,17 +57,27 @@ def main():
 
     from gym_craftingworld_tpu import ray_config, reset_from_seed, rollout_random
 
+    layout = os.environ.get("BENCH_LAYOUT", "slots")
     cfg = ray_config()
     state = reset_from_seed(cfg, 0, B)
     key = jax.random.PRNGKey(0)
-    state, out = rollout_random(cfg, state, key, T)  # compile + warm
-    jax.block_until_ready(out.reward)
+
+    if layout == "slots":
+        from gym_craftingworld_tpu.core import slots as sm
+
+        state = sm.from_env_state(state)
+        roll = sm.rollout_slots_random
+    else:
+        roll = rollout_random
+
+    state, out = roll(cfg, state, key, T)  # compile + warm
+    int(out.reward.sum())  # host sync
 
     t0 = time.time()
     for i in range(ITERS):
         key = jax.random.fold_in(key, i)
-        state, out = rollout_random(cfg, state, key, T)
-    jax.block_until_ready(out.reward)
+        state, out = roll(cfg, state, key, T)
+    int(out.reward.sum())  # host sync forces the whole chain
     dt = time.time() - t0
     steps_per_s = B * T * ITERS / dt
 
