@@ -69,7 +69,18 @@ class CraftingWorldEnvRay:
         reward_style=None,
         seed=None,
         batch_size=1,
+        rng_mode="fast",
     ):
+        """``rng_mode='fast'`` (default) uses on-device jax.random resets —
+        same distributions as the reference, different bitstream.
+        ``rng_mode='parity'`` (batch_size 1 only) replays the reference's
+        RandomState draw sequence on the host (parity/host_rng.py), making
+        whole episodes bit-exact with a reference env under the same seed."""
+        if rng_mode not in ("fast", "parity"):
+            raise ValueError(f"unknown rng_mode {rng_mode!r}")
+        if rng_mode == "parity" and batch_size != 1:
+            raise ValueError("rng_mode='parity' requires batch_size=1")
+        self.rng_mode = rng_mode
         size = size or self._DEFAULT_SIZE
         max_steps = max_steps or self._DEFAULT_MAX_STEPS
         task_list = list(task_list) if task_list is not None else TASK_LIST
@@ -107,8 +118,13 @@ class CraftingWorldEnvRay:
         self.fixed_init_state = int(fixed_init_state)
         self._pool = None
         if self.fixed_init_state:
-            self._key, sub = jax.random.split(self._key)
-            self._pool = reset_mod.generate_pool(self.cfg, sub, self.fixed_init_state)
+            if self.rng_mode == "parity":
+                self._parity.generate_fixed_pool(self.fixed_init_state)
+            else:
+                self._key, sub = jax.random.split(self._key)
+                self._pool = reset_mod.generate_pool(
+                    self.cfg, sub, self.fixed_init_state
+                )
 
         self.action_space = spaces.Discrete(C.N_ACTIONS)
         self.observation_space = self._build_observation_space()
@@ -163,6 +179,12 @@ class CraftingWorldEnvRay:
             seed = int(np.random.SeedSequence().entropy % (2**31))
         self._seed = seed
         self._key = jax.random.PRNGKey(seed)
+        if getattr(self, "rng_mode", "fast") == "parity":
+            from gym_craftingworld_tpu.parity.host_rng import ParityReset
+
+            self._parity = ParityReset(self.cfg, seed)
+            if getattr(self, "fixed_init_state", 0):
+                self._parity.generate_fixed_pool(self.fixed_init_state)
         return [seed]
 
     # -- core plumbing -----------------------------------------------------
@@ -172,6 +194,8 @@ class CraftingWorldEnvRay:
         return jax.random.split(sub, self.batch_size)
 
     def _do_reset(self):
+        if self.rng_mode == "parity":
+            return self._parity.reset_state()
         keys = self._next_keys()
         if self._pool is not None:
             return reset_mod.reset_from_pool(self.cfg, keys, *self._pool)
@@ -339,6 +363,30 @@ class CraftingWorldEnvRay:
 
     def close(self):
         pass
+
+    # -- reference helper functions (craftingworld_ray.py:784-799) ---------
+
+    def one_hot(self, obj=None, agent=False, holding=None):
+        """Build a 12-wide one-hot cell row (reference ``one_hot``)."""
+        row = [0] * C.N_CHANNELS
+        if obj is not None:
+            row[obj] = 1
+        if agent:
+            row[C.N_OBJECTS] = 1
+        if holding is not None:
+            row[holding + C.N_OBJECTS + 1] = 1
+        return row
+
+    @staticmethod
+    def translate_one_hot(one_hot_row):
+        """Decode a 12-wide cell row → (object_channel|None, agent, holding|None)."""
+        row = np.asarray(one_hot_row)
+        obj_ch = row[: C.N_OBJECTS]
+        object_at_location = int(obj_ch.argmax()) if obj_ch.any() else None
+        hold_ch = row[C.N_OBJECTS + 1 :]
+        holding = int(hold_ch.argmax()) if hold_ch.any() else None
+        agent = int(row[C.N_OBJECTS])
+        return object_at_location, agent, holding
 
     # -- gif recording -----------------------------------------------------
 
