@@ -45,7 +45,11 @@ from gym_craftingworld_tpu.core.slots import HELD, ON_GRID, REMOVED, SlotState
 # latency); the [T, BLOCK] reward/done slabs dominate VMEM, so the kernel
 # raises the scoped-VMEM limit (v5e has 128 MB physical VMEM; the compiler
 # default budget is a conservative 16 MB).
-BLOCK = 16384
+# (compile time grows steeply with block width through Mosaic; 4096 balances
+# VPU op width against compile latency — override with CW_FUSED_BLOCK)
+import os as _os
+
+BLOCK = int(_os.environ.get("CW_FUSED_BLOCK", 4096))
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
