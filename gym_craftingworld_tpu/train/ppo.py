@@ -36,6 +36,7 @@ class PPOConfig(NamedTuple):
     lr: float = 3e-4
     max_grad_norm: float = 0.5
     hidden: int = 512
+    policy: str = "mlp"  # "mlp" (one-hot features) | "cnn" (pixel renders)
 
 
 class Transition(NamedTuple):
@@ -53,6 +54,31 @@ class TrainState(NamedTuple):
     update_idx: jax.Array
 
 
+def make_policy(ppo: PPOConfig):
+    """Model family dispatch: returns (apply(params, obs), features(state)).
+
+    ``obs`` is whatever ``features`` returns — a flat array for the MLP family,
+    a (pixels, goal_bits) tuple for the CNN family; both are pytrees, so
+    rollout storage and minibatch slicing handle them uniformly."""
+    if ppo.policy == "mlp":
+        model = ActorCritic(hidden=ppo.hidden)
+        return (
+            model,
+            lambda params, obs: model.apply(params, obs),
+            obs_features,
+        )
+    if ppo.policy == "cnn":
+        from gym_craftingworld_tpu.models.cnn import PixelActorCritic, pixel_obs
+
+        model = PixelActorCritic(hidden=ppo.hidden)
+        return (
+            model,
+            lambda params, obs: model.apply(params, *obs),
+            pixel_obs,
+        )
+    raise ValueError(f"unknown policy family {ppo.policy!r}")
+
+
 def make_optimizer(ppo: PPOConfig):
     return optax.chain(
         optax.clip_by_global_norm(ppo.max_grad_norm),
@@ -61,7 +87,10 @@ def make_optimizer(ppo: PPOConfig):
 
 
 def init_train_state(key, cfg: EnvConfig, ppo: PPOConfig) -> TrainState:
-    from gym_craftingworld_tpu.models.actor_critic import init_params
+    if ppo.policy == "cnn":
+        from gym_craftingworld_tpu.models.cnn import init_params
+    else:
+        from gym_craftingworld_tpu.models.actor_critic import init_params
 
     _, params = init_params(key, cfg.height, cfg.width, ppo.hidden)
     opt_state = make_optimizer(ppo).init(params)
@@ -69,15 +98,15 @@ def init_train_state(key, cfg: EnvConfig, ppo: PPOConfig) -> TrainState:
                       update_idx=jnp.int32(0))
 
 
-def _collect(cfg: EnvConfig, ppo: PPOConfig, model: ActorCritic, params,
+def _collect(cfg: EnvConfig, ppo: PPOConfig, apply_fn, features_fn, params,
              env_state: EnvState, key):
     """On-device rollout of ``rollout_steps``; auto-resets finished episodes."""
 
     def body(carry, _):
         st, k = carry
         k, k_act = jax.random.split(k)
-        obs = obs_features(st)
-        logits, value = model.apply(params, obs)
+        obs = features_fn(st)
+        logits, value = apply_fn(params, obs)
         action = jax.random.categorical(k_act, logits)
         log_prob = jax.nn.log_softmax(logits)[
             jnp.arange(logits.shape[0]), action
@@ -120,9 +149,9 @@ def _gae(ppo: PPOConfig, traj: Transition, last_value: jax.Array):
     return advantages, advantages + traj.value
 
 
-def _ppo_loss(ppo: PPOConfig, model: ActorCritic, params, batch):
+def _ppo_loss(ppo: PPOConfig, apply_fn, params, batch):
     obs, action, old_log_prob, old_value, adv, ret = batch
-    logits, value = model.apply(params, obs)
+    logits, value = apply_fn(params, obs)
     log_probs = jax.nn.log_softmax(logits)
     log_prob = log_probs[jnp.arange(logits.shape[0]), action]
     ratio = jnp.exp(log_prob - old_log_prob)
@@ -146,20 +175,22 @@ def _ppo_loss(ppo: PPOConfig, model: ActorCritic, params, batch):
 def train_step(cfg: EnvConfig, ppo: PPOConfig, ts: TrainState,
                env_state: EnvState, key):
     """One PPO iteration: rollout → GAE → minibatched clipped updates."""
-    model = ActorCritic(hidden=ppo.hidden)
+    _, apply_fn, features_fn = make_policy(ppo)
     key, k_roll, k_perm = jax.random.split(key, 3)
-    env_state, traj = _collect(cfg, ppo, model, ts.params, env_state, k_roll)
-    _, last_value = model.apply(ts.params, obs_features(env_state))
+    env_state, traj = _collect(cfg, ppo, apply_fn, features_fn, ts.params,
+                               env_state, k_roll)
+    _, last_value = apply_fn(ts.params, features_fn(env_state))
     adv, ret = _gae(ppo, traj, last_value)
 
     T, B = traj.action.shape
+    merge = lambda x: x.reshape((T * B,) + x.shape[2:])
     flat = (
-        traj.obs.reshape(T * B, -1),
-        traj.action.reshape(T * B),
-        traj.log_prob.reshape(T * B),
-        traj.value.reshape(T * B),
-        adv.reshape(T * B),
-        ret.reshape(T * B),
+        jax.tree.map(merge, traj.obs),
+        merge(traj.action),
+        merge(traj.log_prob),
+        merge(traj.value),
+        merge(adv),
+        merge(ret),
     )
     optimizer = make_optimizer(ppo)
 
@@ -171,9 +202,9 @@ def train_step(cfg: EnvConfig, ppo: PPOConfig, ts: TrainState,
         def minibatch(carry, i):
             params, opt_state = carry
             idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
-            batch = tuple(x[idx] for x in flat)
+            batch = tuple(jax.tree.map(lambda x: x[idx], x) for x in flat)
             (loss, aux), grads = jax.value_and_grad(
-                lambda p: _ppo_loss(ppo, model, p, batch), has_aux=True
+                lambda p: _ppo_loss(ppo, apply_fn, p, batch), has_aux=True
             )(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
