@@ -38,8 +38,12 @@ import jax.numpy as jnp
 from gym_craftingworld_tpu import constants as C
 from gym_craftingworld_tpu.api import spaces
 from gym_craftingworld_tpu.config import EnvConfig
-from gym_craftingworld_tpu.core import reset as reset_mod
-from gym_craftingworld_tpu.core import state as state_mod
+from gym_craftingworld_tpu.core.reset import (
+    generate_pool as _generate_pool,
+    reset as _core_reset,
+    reset_from_pool as _reset_from_pool,
+)
+from gym_craftingworld_tpu.core.state import packed_from_onehot
 from gym_craftingworld_tpu.core.step import step as core_step
 from gym_craftingworld_tpu.render import raster
 from gym_craftingworld_tpu.utils.gif import GifRecorder
@@ -122,7 +126,7 @@ class CraftingWorldEnvRay:
                 self._parity.generate_fixed_pool(self.fixed_init_state)
             else:
                 self._key, sub = jax.random.split(self._key)
-                self._pool = reset_mod.generate_pool(
+                self._pool = _generate_pool(
                     self.cfg, sub, self.fixed_init_state
                 )
 
@@ -198,8 +202,8 @@ class CraftingWorldEnvRay:
             return self._parity.reset_state()
         keys = self._next_keys()
         if self._pool is not None:
-            return reset_mod.reset_from_pool(self.cfg, keys, *self._pool)
-        return reset_mod.reset(self.cfg, keys)
+            return _reset_from_pool(self.cfg, keys, *self._pool)
+        return _core_reset(self.cfg, keys)
 
     def _unbatch(self, arr):
         """Return numpy; drop the leading batch axis when batch_size == 1."""
@@ -334,7 +338,7 @@ class CraftingWorldEnvRay:
             img = self.observation["observation"]
             img = img if self.batch_size == 1 else img[0]
         else:
-            objects, agent, holding = state_mod.packed_from_onehot(np.asarray(state))
+            objects, agent, holding = packed_from_onehot(np.asarray(state))
             img = np.asarray(
                 self._render_fn(
                     jnp.asarray(objects)[None],

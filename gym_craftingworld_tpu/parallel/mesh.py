@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gym_craftingworld_tpu.config import EnvConfig
-from gym_craftingworld_tpu.core import reset as reset_mod
+from gym_craftingworld_tpu.core.reset import reset as _core_reset
 from gym_craftingworld_tpu.core.state import EnvState
 
 ENV_AXIS = "env"
@@ -73,7 +73,7 @@ def reset_sharded(cfg: EnvConfig, seed: int, batch_size: int, mesh: Mesh) -> Env
         )
     keys = jax.random.split(jax.random.PRNGKey(seed), batch_size)
     keys = jax.device_put(jax.random.key_data(keys), env_sharding(mesh))
-    return reset_mod.reset(cfg, keys)
+    return _core_reset(cfg, keys)
 
 
 def scaling_report(cfg: EnvConfig, batch_per_device: int, num_steps: int = 64):

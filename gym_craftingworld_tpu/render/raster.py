@@ -33,36 +33,41 @@ from gym_craftingworld_tpu.core.state import EnvState
 # ---------------------------------------------------------------------------
 
 
-def _render_ray_one(objects, agent, holding):
-    """(int8[H,W], int32[2], int32) -> uint8[4H,4W,3]."""
-    H, W = objects.shape
-    palette = jnp.asarray(C.COLORS_N, jnp.uint8)  # [9, 3], index = packed code
-    base = palette[objects.astype(jnp.int32)]  # [H, W, 3]
-    # broadcast upsample x4 both axes (reference np.repeat x4, :478-479)
-    img = jnp.broadcast_to(base[:, None, :, None, :], (H, 4, W, 4, 3))
-    img = img.reshape(4 * H, 4 * W, 3)
-
-    # agent overlay: white 2x2 at [4r+1:4r+3, 4c+1:4c+3]; when holding, the
-    # bottom row [4r+2, 4c+1:4c+3] takes COLORS_N[holding] (:483-486)
-    hold_color = palette[holding]
-    patch = jnp.stack(
-        [
-            jnp.full((2, 3), 255, jnp.uint8),
-            jnp.where(holding > 0, hold_color, jnp.uint8(255))[None, :].repeat(
-                2, axis=0
-            ),
-        ]
-    )  # [2 rows, 2 cols, 3]
-    img = jax.lax.dynamic_update_slice(
-        img, patch, (4 * agent[0] + 1, 4 * agent[1] + 1, 0)
-    )
-    return img
-
-
 @partial(jax.jit)
 def render_ray(objects, agent, holding):
-    """Batched Ray-style pixels: uint8[B, 4H, 4W, 3]."""
-    return jax.vmap(_render_ray_one)(objects, agent, holding)
+    """Batched Ray-style pixels: uint8[B, 4H, 4W, 3].
+
+    Fully branch-free: palette gather + broadcast upsample + masked agent/
+    holding overlays — no per-env scatters, so the whole batch renders as a
+    few fused elementwise passes (per-env dynamic_update_slice lowered to TPU
+    scatters and was ~50x slower at 16k envs).
+    """
+    B, H, W = objects.shape
+    palette = jnp.asarray(C.COLORS_N, jnp.uint8)  # [9, 3], index = packed code
+    base = palette[objects.astype(jnp.int32)]  # [B, H, W, 3]
+    img = jnp.broadcast_to(
+        base[:, :, None, :, None, :], (B, H, 4, W, 4, 3)
+    )  # cell-space x subpixel view (reference np.repeat x4 both axes, :478-479)
+
+    # agent cell mask [B, H, 1, W, 1]
+    at_r = (jnp.arange(H)[None, :] == agent[:, 0:1])[:, :, None, None, None]
+    at_c = (jnp.arange(W)[None, :] == agent[:, 1:2])[:, None, None, :, None]
+    cell = at_r & at_c
+    # subpixel masks: white 2x2 block at px [1:3, 1:3]; holding colour on the
+    # bottom row [2, 1:3] of the block (craftingworld_ray.py:483-486)
+    sub = jnp.arange(4)
+    mid = (sub >= 1) & (sub <= 2)
+    white = cell & mid[None, None, :, None, None] & mid[None, None, None, None, :]
+    hold_row = cell & (sub == 2)[None, None, :, None, None] & (
+        mid[None, None, None, None, :]
+    ) & (holding > 0)[:, None, None, None, None]
+
+    img = jnp.where(white[..., None], jnp.uint8(255), img)
+    hold_color = palette[holding]  # [B, 3]
+    img = jnp.where(
+        hold_row[..., None], hold_color[:, None, None, None, None, :], img
+    )
+    return img.reshape(B, 4 * H, 4 * W, 3)
 
 
 # ---------------------------------------------------------------------------
@@ -70,37 +75,41 @@ def render_ray(objects, agent, holding):
 # ---------------------------------------------------------------------------
 
 
-def _render_altobs_one(objects, agent, holding):
-    """(int8[H,W], int32[2], int32) -> uint8[(H+1)*3, 3W, 3]."""
-    H, W = objects.shape
+@partial(jax.jit)
+def render_altobs(objects, agent, holding):
+    """Batched AltObs pixels: int16[B, (H+1)*3, 3W, 3]. Branch-free.
+
+    int16, not uint8: a held item over the same object type doubles the tile
+    slot value, so the reference emits pixel values up to 510 (2x255).
+    """
+    B, H, W = objects.shape
     # 9-channel per-cell activation: objects (codes 1..8 → channels 0..7),
     # agent → channel 8, held item adds into channels 0..2 of the agent cell
     # (craftingworld_altobs.py:530-533).
     ch = jax.nn.one_hot(objects.astype(jnp.int32) - 1, 9, dtype=jnp.int32)
-    ch = ch.at[agent[0], agent[1], 8].add(1)
-    held = jax.nn.one_hot(holding - 1, 9, dtype=jnp.int32)  # -1 → all-zero row
-    ch = ch.at[agent[0], agent[1], :].add(held)
+    at_r = (jnp.arange(H)[None, :] == agent[:, 0:1])[:, :, None]
+    at_c = (jnp.arange(W)[None, :] == agent[:, 1:2])[:, None, :]
+    cell = (at_r & at_c)[..., None].astype(jnp.int32)  # [B, H, W, 1]
+    e_agent = jax.nn.one_hot(8, 9, dtype=jnp.int32)  # channel 8
+    held = jax.nn.one_hot(holding - 1, 9, dtype=jnp.int32)  # -1 → zero row
+    ch = ch + cell * (e_agent[None, None, None, :] + held[:, None, None, :])
 
     # channel k renders at tile pixel (k // 3, k % 3) scaled by its colour
-    vals = ch.reshape(H, W, 3, 3).transpose(0, 2, 1, 3).reshape(3 * H, 3 * W)
-    tile_colors = jnp.asarray(
-        np.tile(C.CPV_TILE_COLORS, (H, W, 1)), jnp.int32
-    )  # [3H, 3W, 3]
-    img = vals[:, :, None] * tile_colors
+    vals = ch.reshape(B, H, W, 3, 3).transpose(0, 1, 3, 2, 4).reshape(
+        B, 3 * H, 3 * W
+    )
+    tile_colors = jnp.asarray(np.tile(C.CPV_TILE_COLORS, (H, W, 1)), jnp.int32)
+    img = vals[:, :, :, None] * tile_colors[None]
 
     # bottom status strip: zeros, px columns [3:6] = 255 while holding
     # (craftingworld_altobs.py:543,557-559)
-    strip = jnp.zeros((3, 3 * W, 3), jnp.int32)
-    strip = strip.at[:, 3:6, :].set(jnp.where(holding > 0, 255, 0))
-    # int16, not uint8: a held item over the same object type doubles the tile
-    # slot value, so the reference emits pixel values up to 510 (2x255).
-    return jnp.concatenate([img, strip], axis=0).astype(jnp.int16)
-
-
-@partial(jax.jit)
-def render_altobs(objects, agent, holding):
-    """Batched AltObs pixels: uint8[B, (H+1)*3, 3W, 3]."""
-    return jax.vmap(_render_altobs_one)(objects, agent, holding)
+    strip_cols = (jnp.arange(3 * W) >= 3) & (jnp.arange(3 * W) < 6)
+    strip = jnp.where(
+        (strip_cols[None, None, :, None]) & (holding > 0)[:, None, None, None],
+        255,
+        0,
+    ) * jnp.ones((B, 3, 3 * W, 3), jnp.int32)
+    return jnp.concatenate([img, strip], axis=1).astype(jnp.int16)
 
 
 # ---------------------------------------------------------------------------
@@ -108,22 +117,18 @@ def render_altobs(objects, agent, holding):
 # ---------------------------------------------------------------------------
 
 
-def _onehot_one(objects, agent, holding):
-    """(int8[H,W], int32[2], int32) -> uint8[H, W, 12]."""
-    obj = jax.nn.one_hot(objects.astype(jnp.int32) - 1, C.N_OBJECTS, dtype=jnp.uint8)
-    H, W = objects.shape
-    extra = jnp.zeros((H, W, 1 + len(C.PICKUPABLE)), jnp.uint8)
-    out = jnp.concatenate([obj, extra], axis=-1)
-    out = out.at[agent[0], agent[1], C.N_OBJECTS].set(1)
-    held = jax.nn.one_hot(holding - 1, len(C.PICKUPABLE), dtype=jnp.uint8)
-    out = out.at[agent[0], agent[1], C.N_OBJECTS + 1 :].add(held)
-    return out
-
-
 @partial(jax.jit)
 def render_onehot(objects, agent, holding):
-    """Batched one-hot obs: uint8[B, H, W, 12]."""
-    return jax.vmap(_onehot_one)(objects, agent, holding)
+    """Batched one-hot obs: uint8[B, H, W, 12]. Branch-free masked build."""
+    B, H, W = objects.shape
+    obj = jax.nn.one_hot(objects.astype(jnp.int32) - 1, C.N_OBJECTS, dtype=jnp.uint8)
+    at_r = (jnp.arange(H)[None, :] == agent[:, 0:1])[:, :, None]
+    at_c = (jnp.arange(W)[None, :] == agent[:, 1:2])[:, None, :]
+    cell = (at_r & at_c)[..., None]  # [B, H, W, 1]
+    agent_ch = cell.astype(jnp.uint8)
+    held = jax.nn.one_hot(holding - 1, len(C.PICKUPABLE), dtype=jnp.uint8)
+    held_ch = cell.astype(jnp.uint8) * held[:, None, None, :]
+    return jnp.concatenate([obj, agent_ch, held_ch], axis=-1)
 
 
 # ---------------------------------------------------------------------------
