@@ -279,11 +279,16 @@ class CraftingWorldEnvRay:
 
     # -- gym API -----------------------------------------------------------
 
+    def _should_save_episode(self):
+        """Hook for variant-specific episode-save rules (Flat overrides)."""
+        return True
+
     def reset(self, render_next=False):
         if (
             self._recorder is not None
             and self.step_num != 0
             and self._recorder.should_record(self.ep_no)
+            and self._should_save_episode()
         ):
             self._recorder.save_episode(
                 self.ep_no,
@@ -437,6 +442,12 @@ class CraftingWorldEnvFlat(CraftingWorldEnvRay):
 
     def _build_observation_space(self):
         return spaces.Box(0, 255, self._pixel_shape(), dtype=np.uint8)
+
+    def _should_save_episode(self):
+        # Flat saves a recorded episode only when a task was completed or
+        # every 30th episode (craftingworld_flat.py:68).
+        completed = np.asarray(self.achieved_goal_vector).any()
+        return bool(completed) or self.ep_no % 30 == 0
 
     def reset(self, render_next=False):
         obs = super().reset(render_next)
