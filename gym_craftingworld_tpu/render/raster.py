@@ -44,30 +44,30 @@ def render_ray(objects, agent, holding):
     """
     B, H, W = objects.shape
     palette = jnp.asarray(C.COLORS_N, jnp.uint8)  # [9, 3], index = packed code
-    base = palette[objects.astype(jnp.int32)]  # [B, H, W, 3]
-    img = jnp.broadcast_to(
-        base[:, :, None, :, None, :], (B, H, 4, W, 4, 3)
-    )  # cell-space x subpixel view (reference np.repeat x4 both axes, :478-479)
+    # upsample in cell space then gather colours: [B, 4H, 4W, 3]
+    obj_px = jnp.repeat(jnp.repeat(objects, 4, axis=1), 4, axis=2)
+    img = palette[obj_px.astype(jnp.int32)]
 
-    # agent cell mask [B, H, 1, W, 1]
-    at_r = (jnp.arange(H)[None, :] == agent[:, 0:1])[:, :, None, None, None]
-    at_c = (jnp.arange(W)[None, :] == agent[:, 1:2])[:, None, None, :, None]
-    cell = at_r & at_c
-    # subpixel masks: white 2x2 block at px [1:3, 1:3]; holding colour on the
-    # bottom row [2, 1:3] of the block (craftingworld_ray.py:483-486)
-    sub = jnp.arange(4)
-    mid = (sub >= 1) & (sub <= 2)
-    white = cell & mid[None, None, :, None, None] & mid[None, None, None, None, :]
-    hold_row = cell & (sub == 2)[None, None, :, None, None] & (
-        mid[None, None, None, None, :]
-    ) & (holding > 0)[:, None, None, None, None]
+    # pixel-space overlay masks (all rank-3 [B, 4H, 4W]): white 2x2 block at
+    # cell px [1:3, 1:3]; holding colour on its bottom row (:483-486)
+    pr = jnp.arange(4 * H)
+    pc = jnp.arange(4 * W)
+    row_cell = (pr[None, :] // 4 == agent[:, 0:1])  # [B, 4H]
+    col_cell = (pc[None, :] // 4 == agent[:, 1:2])  # [B, 4W]
+    row_mid = row_cell & ((pr % 4 >= 1) & (pr % 4 <= 2))[None, :]
+    col_mid = col_cell & ((pc % 4 >= 1) & (pc % 4 <= 2))[None, :]
+    white = row_mid[:, :, None] & col_mid[:, None, :]
+    row_bot = row_cell & (pr % 4 == 2)[None, :]
+    hold_row = (
+        row_bot[:, :, None]
+        & col_mid[:, None, :]
+        & (holding > 0)[:, None, None]
+    )
 
     img = jnp.where(white[..., None], jnp.uint8(255), img)
     hold_color = palette[holding]  # [B, 3]
-    img = jnp.where(
-        hold_row[..., None], hold_color[:, None, None, None, None, :], img
-    )
-    return img.reshape(B, 4 * H, 4 * W, 3)
+    img = jnp.where(hold_row[..., None], hold_color[:, None, None, :], img)
+    return img
 
 
 # ---------------------------------------------------------------------------

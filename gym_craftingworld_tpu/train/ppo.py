@@ -40,7 +40,7 @@ class PPOConfig(NamedTuple):
 
 
 class Transition(NamedTuple):
-    obs: jax.Array
+    obs: "Snapshot"
     action: jax.Array
     log_prob: jax.Array
     value: jax.Array
@@ -54,28 +54,69 @@ class TrainState(NamedTuple):
     update_idx: jax.Array
 
 
-def make_policy(ppo: PPOConfig):
-    """Model family dispatch: returns (apply(params, obs), features(state)).
+class Snapshot(NamedTuple):
+    """Compact per-step state capture stored in rollouts.
 
-    ``obs`` is whatever ``features`` returns — a flat array for the MLP family,
-    a (pixels, goal_bits) tuple for the CNN family; both are pytrees, so
-    rollout storage and minibatch slicing handle them uniformly."""
+    Observations are recomputed from this in the loss instead of being stored:
+    the one-hot/pixel features are ~40x larger than the packed state, so
+    storing snapshots and rebuilding features per minibatch trades a trivial
+    amount of compute for gigabytes of HBM and shuffle-gather traffic.
+    """
+
+    objects: jax.Array  # int8[B, H, W]
+    agent: jax.Array  # int32[B, 2]
+    holding: jax.Array  # int32[B]
+    desired: jax.Array  # int8[B, 9]
+    achieved: jax.Array  # int8[B, 9]
+
+
+def snapshot(state: EnvState) -> Snapshot:
+    return Snapshot(
+        objects=state.objects,
+        agent=state.agent,
+        holding=state.holding,
+        desired=state.desired,
+        achieved=state.achieved,
+    )
+
+
+def make_policy(ppo: PPOConfig):
+    """Model family dispatch: returns (model, apply(params, snapshot))."""
     if ppo.policy == "mlp":
+        from gym_craftingworld_tpu.render.raster import render_onehot
+
         model = ActorCritic(hidden=ppo.hidden)
-        return (
-            model,
-            lambda params, obs: model.apply(params, obs),
-            obs_features,
-        )
+
+        def apply_fn(params, snap: Snapshot):
+            B = snap.objects.shape[0]
+            grid = render_onehot(snap.objects, snap.agent, snap.holding)
+            obs = jnp.concatenate(
+                [
+                    grid.reshape(B, -1).astype(jnp.float32),
+                    snap.desired.astype(jnp.float32),
+                    snap.achieved.astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+            return model.apply(params, obs)
+
+        return model, apply_fn
     if ppo.policy == "cnn":
-        from gym_craftingworld_tpu.models.cnn import PixelActorCritic, pixel_obs
+        from gym_craftingworld_tpu.models.cnn import PixelActorCritic
+        from gym_craftingworld_tpu.render.raster import render_ray
 
         model = PixelActorCritic(hidden=ppo.hidden)
-        return (
-            model,
-            lambda params, obs: model.apply(params, *obs),
-            pixel_obs,
-        )
+
+        def apply_fn(params, snap: Snapshot):
+            pixels = render_ray(snap.objects, snap.agent, snap.holding)
+            goal_bits = jnp.concatenate(
+                [snap.desired.astype(jnp.float32),
+                 snap.achieved.astype(jnp.float32)],
+                axis=-1,
+            )
+            return model.apply(params, pixels, goal_bits)
+
+        return model, apply_fn
     raise ValueError(f"unknown policy family {ppo.policy!r}")
 
 
@@ -98,14 +139,14 @@ def init_train_state(key, cfg: EnvConfig, ppo: PPOConfig) -> TrainState:
                       update_idx=jnp.int32(0))
 
 
-def _collect(cfg: EnvConfig, ppo: PPOConfig, apply_fn, features_fn, params,
+def _collect(cfg: EnvConfig, ppo: PPOConfig, apply_fn, params,
              env_state: EnvState, key):
     """On-device rollout of ``rollout_steps``; auto-resets finished episodes."""
 
     def body(carry, _):
         st, k = carry
         k, k_act = jax.random.split(k)
-        obs = features_fn(st)
+        obs = snapshot(st)
         logits, value = apply_fn(params, obs)
         action = jax.random.categorical(k_act, logits)
         log_prob = jax.nn.log_softmax(logits)[
@@ -175,11 +216,11 @@ def _ppo_loss(ppo: PPOConfig, apply_fn, params, batch):
 def train_step(cfg: EnvConfig, ppo: PPOConfig, ts: TrainState,
                env_state: EnvState, key):
     """One PPO iteration: rollout → GAE → minibatched clipped updates."""
-    _, apply_fn, features_fn = make_policy(ppo)
+    _, apply_fn = make_policy(ppo)
     key, k_roll, k_perm = jax.random.split(key, 3)
-    env_state, traj = _collect(cfg, ppo, apply_fn, features_fn, ts.params,
+    env_state, traj = _collect(cfg, ppo, apply_fn, ts.params,
                                env_state, k_roll)
-    _, last_value = apply_fn(ts.params, features_fn(env_state))
+    _, last_value = apply_fn(ts.params, snapshot(env_state))
     adv, ret = _gae(ppo, traj, last_value)
 
     T, B = traj.action.shape
