@@ -68,11 +68,16 @@ def main(argv=None):
     ts = jax.device_put(ts, replicated(mesh))
     key = jax.device_put(jax.random.PRNGKey(args.seed + 1), replicated(mesh))
 
+    from gym_craftingworld_tpu.utils.profiling import Throughput, trace
+
     steps_per_update = args.envs * ppo.rollout_steps
+    tput = Throughput()
     t_start = time.time()
     for u in range(args.updates):
         t0 = time.time()
-        ts, env_state, key, metrics = train_step(cfg, ppo, ts, env_state, key)
+        with trace("train_step"):
+            ts, env_state, key, metrics = train_step(cfg, ppo, ts, env_state, key)
+        tput.tick(steps_per_update)
         if u % args.log_every == 0 or u == args.updates - 1:
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t0
