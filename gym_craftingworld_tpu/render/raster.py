@@ -44,9 +44,10 @@ def render_ray(objects, agent, holding):
     """
     B, H, W = objects.shape
     palette = jnp.asarray(C.COLORS_N, jnp.uint8)  # [9, 3], index = packed code
-    # upsample in cell space then gather colours: [B, 4H, 4W, 3]
-    obj_px = jnp.repeat(jnp.repeat(objects, 4, axis=1), 4, axis=2)
-    img = palette[obj_px.astype(jnp.int32)]
+    # gather colours at cell resolution (441 indices/env), then upsample —
+    # the upsample is pure data movement that XLA fuses into the masked writes
+    base = palette[objects.astype(jnp.int32)]  # [B, H, W, 3]
+    img = jnp.repeat(jnp.repeat(base, 4, axis=1), 4, axis=2)  # [B, 4H, 4W, 3]
 
     # pixel-space overlay masks (all rank-3 [B, 4H, 4W]): white 2x2 block at
     # cell px [1:3, 1:3]; holding colour on its bottom row (:483-486)
