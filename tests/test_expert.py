@@ -1,0 +1,27 @@
+"""Scripted expert: every single-task goal must be completable."""
+
+import numpy as np
+import pytest
+
+from gym_craftingworld_tpu import constants as C
+from gym_craftingworld_tpu.agents.expert import ExpertPolicy
+from gym_craftingworld_tpu.api import CraftingWorldEnvRay
+
+
+@pytest.mark.parametrize("task", list(C.TASK_LIST))
+def test_expert_completes_single_task(task):
+    successes = 0
+    trials = 5
+    for seed in range(trials):
+        env = CraftingWorldEnvRay(
+            seed=seed * 13 + 7,
+            selected_tasks=[task],
+            stacking=False,
+            max_steps=300,
+        )
+        env.reset()
+        expert = ExpertPolicy(env)
+        reward = expert.run_episode()
+        if reward == env.MAX_STEPS:
+            successes += 1
+    assert successes >= 4, f"{task}: {successes}/{trials} episodes solved"
