@@ -46,15 +46,16 @@ _MOVE_ITEM = {  # Move* task → item code
     C.T_MOVE_HAMMER: C.HAMMER,
     C.T_MOVE_STICKS: C.STICKS,
 }
-# execution order: crafting chains first, GoToHouse and Move* tasks last
-# (their bits depend on the agent's/items' final configuration)
+# execution order: crafting chains first; MoveSticks BEFORE BuildHouse (which
+# consumes the sticks — moving first freezes the bit and leaves the relocated
+# sticks available for conversion); GoToHouse last (final agent position)
 _TASK_ORDER = [
     C.T_MAKE_BREAD,
     C.T_EAT_BREAD,
     C.T_CHOP_ROCK,
     C.T_CHOP_TREE,
-    C.T_BUILD_HOUSE,
     C.T_MOVE_STICKS,
+    C.T_BUILD_HOUSE,
     C.T_MOVE_AXE,
     C.T_MOVE_HAMMER,
     C.T_GO_TO_HOUSE,
@@ -97,6 +98,20 @@ class ExpertPolicy:
             bad |= objects == C.WHEAT
         if holding == C.HOLD_HAMMER:
             bad |= objects == C.STICKS
+        # while carrying an item whose Move* bit is desired and set, crossing
+        # its origin cell would clear the bit (craftingworld_ray.py:670-702)
+        if holding:
+            move_bit = {C.HOLD_STICKS: C.T_MOVE_STICKS, C.HOLD_AXE: C.T_MOVE_AXE,
+                        C.HOLD_HAMMER: C.T_MOVE_HAMMER}[holding]
+            if desired[move_bit]:
+                origin = self._tool_origin(holding)
+                if origin is not None:
+                    bad[origin] = True
+                if holding == C.HOLD_STICKS:
+                    # chopped-tree origin also counts as a sticks origin
+                    tree_origin = self._tool_origin(C.TREE)
+                    if tree_origin is not None:
+                        bad[tree_origin] = True
         for cell in allow:
             bad[cell] = False
         return bad
@@ -141,6 +156,31 @@ class ExpertPolicy:
         hits = np.argwhere(init == tool_code)
         return tuple(hits[0]) if len(hits) else None
 
+    def _protected_cells(self, holding=0):
+        """Origin cells of pickupables (+ the tree's): never drop *foreign*
+        items there — an object parked on another tool's origin makes that
+        tool unreturnable, so its undesired Move* bit could never be cleared.
+        The held item's own origin(s) are exempt: dropping it there is exactly
+        how it is returned (sticks also return to a chopped tree's origin)."""
+        own = {holding}
+        if holding == C.HOLD_STICKS:
+            own.add(C.TREE)
+        cells = []
+        for code in (C.STICKS, C.AXE, C.HAMMER, C.TREE):
+            if code in own:
+                continue
+            origin = self._tool_origin(code)
+            if origin is not None:
+                cells.append(origin)
+        return cells
+
+    def _drop_targets(self, objects, holding):
+        protected = set(self._protected_cells(holding))
+        return [
+            cell for cell in self._cells_of(objects, C.EMPTY)
+            if cell not in protected
+        ]
+
     def _goto(self, objects, agent, holding, desired, achieved, targets):
         bad = self._forbidden(objects, holding, desired, achieved, allow=targets)
         return self._bfs_step(objects, agent, targets, bad)
@@ -150,12 +190,22 @@ class ExpertPolicy:
         if holding == tool:
             return None  # already have it
         if holding != 0:
-            # drop current item on an empty non-origin-sensitive cell
-            if objects[agent] == C.EMPTY:
+            move_bit = {C.HOLD_STICKS: C.T_MOVE_STICKS, C.HOLD_AXE: C.T_MOVE_AXE,
+                        C.HOLD_HAMMER: C.T_MOVE_HAMMER}[holding]
+            if not desired[move_bit]:
+                # dropping anywhere but the origin freezes the Move* bit at 1
+                # (any move while carrying sets it) — carry the item home
+                act = self._return_tool(objects, agent, holding, desired, achieved)
+                if act is not None:
+                    return act
+            # drop current item on an empty, non-foreign-origin cell
+            if objects[agent] == C.EMPTY and agent not in set(
+                self._protected_cells(holding)
+            ):
                 return C.ACTION_DROP
             step = self._goto(
                 objects, agent, holding, desired, achieved,
-                self._cells_of(objects, C.EMPTY),
+                self._drop_targets(objects, holding),
             )
             return step if step != "arrived" else C.ACTION_DROP
         item_code = tool  # HOLD_* codes == object codes for pickupables
@@ -190,6 +240,20 @@ class ExpertPolicy:
         for task in _TASK_ORDER:
             if not desired[task] or achieved[task]:
                 continue
+            if task == C.T_GO_TO_HOUSE and holding:
+                # return an undesired-set tool BEFORE parking on the house —
+                # walking off afterwards would clear the GoToHouse bit again
+                move_bit = {
+                    C.HOLD_STICKS: C.T_MOVE_STICKS,
+                    C.HOLD_AXE: C.T_MOVE_AXE,
+                    C.HOLD_HAMMER: C.T_MOVE_HAMMER,
+                }[holding]
+                if not desired[move_bit]:
+                    act = self._return_tool(
+                        objects, agent, holding, desired, achieved
+                    )
+                    if act is not None:
+                        return act
             if task in _MOVE_ITEM:
                 item = _MOVE_ITEM[task]
                 if holding == item:
@@ -233,7 +297,7 @@ class ExpertPolicy:
         if holding:
             move_bit = {C.HOLD_STICKS: C.T_MOVE_STICKS, C.HOLD_AXE: C.T_MOVE_AXE,
                         C.HOLD_HAMMER: C.T_MOVE_HAMMER}[holding]
-            if achieved[move_bit] and not desired[move_bit]:
+            if not desired[move_bit]:
                 act = self._return_tool(objects, agent, holding, desired, achieved)
                 if act is not None:
                     return act

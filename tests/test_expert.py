@@ -25,3 +25,26 @@ def test_expert_completes_single_task(task):
         if reward == env.MAX_STEPS:
             successes += 1
     assert successes >= 4, f"{task}: {successes}/{trials} episodes solved"
+
+
+def test_expert_completes_stacked_multi_task():
+    wins = 0
+    trials = 25
+    for seed in range(trials):
+        env = CraftingWorldEnvRay(seed=seed, stacking=True, max_steps=300)
+        env.reset()
+        reward = ExpertPolicy(env).run_episode()
+        wins += reward == env.MAX_STEPS
+    assert wins >= 23, f"stacked goals: {wins}/{trials} solved"
+
+
+def test_expert_flat_variant():
+    from gym_craftingworld_tpu.api import CraftingWorldEnvFlat
+
+    wins = 0
+    for seed in range(8):
+        env = CraftingWorldEnvFlat(seed=seed, stacking=True)
+        env.reset()
+        reward = ExpertPolicy(env).run_episode()
+        wins += reward == env.MAX_STEPS
+    assert wins >= 6, f"flat: {wins}/8"
