@@ -10,9 +10,14 @@ import pytest
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import importlib
+
 from gym_craftingworld_tpu import flat_config, ray_config, reset_from_seed
 from gym_craftingworld_tpu.core import slots as sm
-from gym_craftingworld_tpu.ops import fused_rollout as fr
+
+# the package re-exports the `fused_rollout` *function*, shadowing the module
+# name on attribute access — resolve the module itself for monkeypatching
+fr = importlib.import_module("gym_craftingworld_tpu.ops.fused_rollout")
 
 
 @pytest.fixture(autouse=True)
