@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", type=str, default="")
     p.add_argument("--ckpt-every", type=int, default=50)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="greedy-eval cadence in updates (0 = off)")
+    p.add_argument("--eval-episodes", type=int, default=256)
     p.add_argument("--single-task", type=str, default="",
                    help="restrict goals to one named task (e.g. EatBread)")
     args = p.parse_args(argv)
@@ -90,6 +93,14 @@ def main(argv=None):
                 wall_s=round(time.time() - t_start, 1),
             )
             print(json.dumps(m), flush=True)
+        if args.eval_every and (u + 1) % args.eval_every == 0:
+            from gym_craftingworld_tpu.train.evaluate import evaluate_policy
+
+            report = evaluate_policy(
+                cfg, ppo, ts.params, args.eval_episodes, seed=args.seed + u
+            )
+            report["update"] = u
+            print(json.dumps({"eval": report}), flush=True)
         if args.ckpt_dir and (u + 1) % args.ckpt_every == 0:
             from gym_craftingworld_tpu.train import checkpoint
 

@@ -116,3 +116,19 @@ def test_gif_env_id_burn_parity():
     # reference allow_gif_storage draws randint(0, 1e6) (craftingworld_ray.py:778)
     ref_id = env.np_random.randint(0, 1000000)
     assert pr.burn_gif_env_id() == ref_id
+
+
+def test_flat_variant_reset_parity():
+    """Flat uses the same draw order on an 8x8 grid (craftingworld_flat.py:73-82)."""
+    seed = 44
+    env = oracle.make_reference_env("flat", seed=seed)
+    pr = ParityReset(flat_config(), seed)
+    for _ in range(4):
+        env.reset()
+        ours = pr.reset_arrays()
+        ref_obj, ref_agent, _ = packed_from_onehot(env.obs_one_hot)
+        np.testing.assert_array_equal(ours["objects"], ref_obj)
+        np.testing.assert_array_equal(ours["agent"], ref_agent)
+        np.testing.assert_array_equal(
+            ours["desired"], np.array(env.desired_goal_vector[0])
+        )
