@@ -57,12 +57,22 @@ def main():
 
     from gym_craftingworld_tpu import ray_config, reset_from_seed, rollout_random
 
-    layout = os.environ.get("BENCH_LAYOUT", "slots")
+    layout = os.environ.get("BENCH_LAYOUT", "transposed")
     cfg = ray_config()
     state = reset_from_seed(cfg, 0, B)
     key = jax.random.PRNGKey(0)
 
-    if layout == "slots":
+    if layout == "transposed":
+        import importlib
+
+        from gym_craftingworld_tpu.core import slots as sm
+
+        tr = importlib.import_module(
+            "gym_craftingworld_tpu.ops.transposed_rollout"
+        )
+        state = sm.from_env_state(state)
+        roll = tr.rollout_t_random
+    elif layout == "slots":
         from gym_craftingworld_tpu.core import slots as sm
 
         state = sm.from_env_state(state)
@@ -73,13 +83,17 @@ def main():
     state, out = roll(cfg, state, key, T)  # compile + warm
     int(out.reward.sum())  # host sync
 
-    t0 = time.time()
-    for i in range(ITERS):
+    # median of per-iteration times, each synced by a checksum: robust to
+    # relay jitter and async-timing artifacts (see CLAUDE.md)
+    times = []
+    for i in range(max(ITERS, 5)):
         key = jax.random.fold_in(key, i)
+        t0 = time.time()
         state, out = roll(cfg, state, key, T)
-    int(out.reward.sum())  # host sync forces the whole chain
-    dt = time.time() - t0
-    steps_per_s = B * T * ITERS / dt
+        int(out.reward.sum())
+        times.append(time.time() - t0)
+    times.sort()
+    steps_per_s = B * T / times[len(times) // 2]
 
     print(
         json.dumps(
