@@ -57,7 +57,10 @@ def main():
 
     from gym_craftingworld_tpu import ray_config, reset_from_seed, rollout_random
 
-    layout = os.environ.get("BENCH_LAYOUT", "fused_t")
+    # default: transposed scan — 133M steps/s and ~2 min cold compile.
+    # BENCH_LAYOUT=fused_t selects the Pallas kernel (143M steps/s) but its
+    # cold Mosaic compile via the remote relay can take 15+ minutes.
+    layout = os.environ.get("BENCH_LAYOUT", "transposed")
     cfg = ray_config()
     state = reset_from_seed(cfg, 0, B)
     key = jax.random.PRNGKey(0)
