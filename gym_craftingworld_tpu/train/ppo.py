@@ -21,7 +21,7 @@ from gym_craftingworld_tpu.config import EnvConfig
 from gym_craftingworld_tpu.core.reset import _reset_one
 from gym_craftingworld_tpu.core.state import EnvState
 from gym_craftingworld_tpu.core.step import _step_one
-from gym_craftingworld_tpu.models.actor_critic import ActorCritic, obs_features
+from gym_craftingworld_tpu.models.actor_critic import ActorCritic
 
 
 class PPOConfig(NamedTuple):
