@@ -56,7 +56,6 @@ def test_fused_t_actions_path_matches_scan(monkeypatch):
 
     from gym_craftingworld_tpu.core.validate import assert_valid_state
     from gym_craftingworld_tpu.core.state import EnvState
-    import jax.numpy as jnp
 
     cfg = ray_config()
     B, T = 16, 48
