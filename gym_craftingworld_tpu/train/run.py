@@ -79,19 +79,21 @@ def main(argv=None):
     steps_per_update = args.envs * ppo.rollout_steps
     tput = Throughput()
     t_start = time.time()
+    last_log_t, last_log_u = None, 0
     for u in range(args.updates):
-        t0 = time.time()
         with trace("train_step"):
             ts, env_state, key, metrics = train_step(cfg, ppo, ts, env_state, key)
         tput.tick(steps_per_update)
         if u % args.log_every == 0 or u == args.updates - 1:
+            # force completion before timing: dispatch is async, so rate is
+            # measured over the wall time between log points
             m = {k: float(v) for k, v in metrics.items()}
-            dt = time.time() - t0
-            m.update(
-                update=u,
-                env_steps_per_s=round(steps_per_update / dt),
-                wall_s=round(time.time() - t_start, 1),
-            )
+            now = time.time()
+            if last_log_t is not None and u > last_log_u:
+                rate = steps_per_update * (u - last_log_u) / (now - last_log_t)
+                m["env_steps_per_s"] = round(rate)
+            last_log_t, last_log_u = now, u
+            m.update(update=u, wall_s=round(now - t_start, 1))
             print(json.dumps(m), flush=True)
         if args.eval_every and (u + 1) % args.eval_every == 0:
             from gym_craftingworld_tpu.train.evaluate import evaluate_policy
