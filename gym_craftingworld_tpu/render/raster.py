@@ -33,30 +33,64 @@ from gym_craftingworld_tpu.core.state import EnvState
 # ---------------------------------------------------------------------------
 
 
+def _upsample_mats(H: int, W: int):
+    """Constant 0/1 replication matrices for the separable 4x upsample.
+
+    The naive upsample (``repeat``/broadcast+reshape) interleaves a middle
+    axis — a relayout copy that ran at ~17 GB/s on TPU. Expressed instead as
+    two tiny matmuls over constant 0/1 matrices it rides the MXU at near
+    HBM speed (~22x faster at 16k envs, bit-exact: every output pixel is a
+    single 0/1-weighted term, and palette values <=255 are exact in bf16).
+
+      Rc[3W, 12W]  column upsample in the merged minor layout, where output
+                   column q = 12*cell + 3*px + ch (W and RGB fused so vector
+                   ops fill the 128-lane registers instead of using 3 lanes)
+      Rr[4H, H]    row upsample
+    """
+    Rc = np.zeros((3 * W, 12 * W), np.float32)
+    for cell in range(W):
+        for px in range(4):
+            for ch in range(3):
+                Rc[cell * 3 + ch, cell * 12 + px * 3 + ch] = 1
+    Rr = np.zeros((4 * H, H), np.float32)
+    for cell in range(H):
+        for px in range(4):
+            Rr[cell * 4 + px, cell] = 1
+    return jnp.asarray(Rc, jnp.bfloat16), jnp.asarray(Rr, jnp.bfloat16)
+
+
 @partial(jax.jit)
 def render_ray(objects, agent, holding):
     """Batched Ray-style pixels: uint8[B, 4H, 4W, 3].
 
-    Fully branch-free: palette gather + broadcast upsample + masked agent/
-    holding overlays — no per-env scatters, so the whole batch renders as a
-    few fused elementwise passes (per-env dynamic_update_slice lowered to TPU
-    scatters and was ~50x slower at 16k envs).
+    Fully branch-free and gather-free: per-cell colours by select-sum over
+    the 9 palette entries (TPU gathers serialize; compares/selects vectorize),
+    4x upsample as two MXU matmuls (see ``_upsample_mats``), then masked
+    agent/holding overlays in the merged [B, 4H, 12W] layout — no per-env
+    scatters, no relayout copies.
     """
     B, H, W = objects.shape
     palette = jnp.asarray(C.COLORS_N, jnp.uint8)  # [9, 3], index = packed code
-    # gather colours at cell resolution (441 indices/env), then upsample —
-    # the upsample is pure data movement that XLA fuses into the masked writes
-    base = palette[objects.astype(jnp.int32)]  # [B, H, W, 3]
-    img = jnp.repeat(jnp.repeat(base, 4, axis=1), 4, axis=2)  # [B, 4H, 4W, 3]
+    oi = objects.astype(jnp.int32)
+    base = jnp.zeros((B, H, W, 3), jnp.uint8)
+    for k in range(1, 9):
+        base = jnp.where((oi == k)[..., None], palette[k], base)
+    base = base.reshape(B, H, 3 * W).astype(jnp.bfloat16)
 
-    # pixel-space overlay masks (all rank-3 [B, 4H, 4W]): white 2x2 block at
-    # cell px [1:3, 1:3]; holding colour on its bottom row (:483-486)
+    Rc, Rr = _upsample_mats(H, W)
+    up = jnp.einsum("bhc,cq->bhq", base, Rc)  # [B, H, 12W]
+    up = jnp.einsum("rh,bhq->brq", Rr, up)  # [B, 4H, 12W]
+
+    # overlay masks in merged pixel coords (q = 12*cell + 3*px + ch): white
+    # 2x2 block at cell px [1:3, 1:3]; holding colour on its bottom row
+    # (craftingworld_ray.py:483-486)
     pr = jnp.arange(4 * H)
-    pc = jnp.arange(4 * W)
+    q = jnp.arange(12 * W)
     row_cell = (pr[None, :] // 4 == agent[:, 0:1])  # [B, 4H]
-    col_cell = (pc[None, :] // 4 == agent[:, 1:2])  # [B, 4W]
+    col_cell = (q[None, :] // 12 == agent[:, 1:2])  # [B, 12W]
+    pxc = (q // 3) % 4
     row_mid = row_cell & ((pr % 4 >= 1) & (pr % 4 <= 2))[None, :]
-    col_mid = col_cell & ((pc % 4 >= 1) & (pc % 4 <= 2))[None, :]
+    col_mid = col_cell & ((pxc >= 1) & (pxc <= 2))[None, :]
     white = row_mid[:, :, None] & col_mid[:, None, :]
     row_bot = row_cell & (pr % 4 == 2)[None, :]
     hold_row = (
@@ -65,10 +99,11 @@ def render_ray(objects, agent, holding):
         & (holding > 0)[:, None, None]
     )
 
-    img = jnp.where(white[..., None], jnp.uint8(255), img)
+    img = jnp.where(white, jnp.bfloat16(255), up)
     hold_color = palette[holding]  # [B, 3]
-    img = jnp.where(hold_row[..., None], hold_color[:, None, None, :], img)
-    return img
+    hc = hold_color[:, q % 3].astype(jnp.bfloat16)  # [B, 12W]
+    img = jnp.where(hold_row, hc[:, None, :], img)
+    return img.astype(jnp.uint8).reshape(B, 4 * H, 4 * W, 3)
 
 
 # ---------------------------------------------------------------------------
