@@ -50,9 +50,25 @@ def measure_reference_steps_per_s(n_steps: int = 3000) -> float:
     return rate
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (works through the axon relay).
+
+    The transposed fused Pallas kernel is the fastest engine but its cold
+    Mosaic compile takes 15+ minutes via the remote relay; with the repo-local
+    cache warmed once, subsequent runs load the executable in seconds.
+    """
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     baseline = measure_reference_steps_per_s()
 
+    _enable_compilation_cache()
     import jax
 
     from gym_craftingworld_tpu import ray_config, reset_from_seed, rollout_random
