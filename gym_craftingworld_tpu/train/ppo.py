@@ -117,6 +117,24 @@ def make_policy(ppo: PPOConfig):
             return model.apply(params, pixels, goal_bits)
 
         return model, apply_fn
+    if ppo.policy == "vit":
+        from gym_craftingworld_tpu.models.vit import GridActorCritic
+        from gym_craftingworld_tpu.render.raster import render_onehot
+
+        model = GridActorCritic(hidden=ppo.hidden)
+
+        def apply_fn(params, snap: Snapshot):
+            B, H, W = snap.objects.shape
+            grid = render_onehot(snap.objects, snap.agent, snap.holding)
+            cells = grid.reshape(B, H * W, grid.shape[-1])
+            goal_bits = jnp.concatenate(
+                [snap.desired.astype(jnp.float32),
+                 snap.achieved.astype(jnp.float32)],
+                axis=-1,
+            )
+            return model.apply(params, cells, goal_bits)
+
+        return model, apply_fn
     raise ValueError(f"unknown policy family {ppo.policy!r}")
 
 
@@ -130,6 +148,8 @@ def make_optimizer(ppo: PPOConfig):
 def init_train_state(key, cfg: EnvConfig, ppo: PPOConfig) -> TrainState:
     if ppo.policy == "cnn":
         from gym_craftingworld_tpu.models.cnn import init_params
+    elif ppo.policy == "vit":
+        from gym_craftingworld_tpu.models.vit import init_params
     else:
         from gym_craftingworld_tpu.models.actor_critic import init_params
 

@@ -24,7 +24,8 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=100)
     p.add_argument("--rollout-steps", type=int, default=64)
     p.add_argument("--hidden", type=int, default=512)
-    p.add_argument("--policy", type=str, default="mlp", choices=["mlp", "cnn"],
+    p.add_argument("--policy", type=str, default="mlp",
+                   choices=["mlp", "cnn", "vit"],
                    help="model family (recurrent training: train/ppo_rnn.py)")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=0)
