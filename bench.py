@@ -75,6 +75,18 @@ def _make_engine(layout, cfg, state):
 
     from gym_craftingworld_tpu.core import slots as sm
 
+    if layout == "packed_fused":
+        import jax.numpy as jnp
+
+        from gym_craftingworld_tpu.ops import packed_fused as pfu
+
+        state = sm.from_env_state(state)
+
+        def roll(st, key, n):
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+            return pfu.fused_rollout_packed_bench(cfg, st, seed, n)
+
+        return roll, state
     if layout == "packed":
         from gym_craftingworld_tpu.ops import packed_rollout as pr
 
@@ -131,7 +143,7 @@ def main():
 
     from gym_craftingworld_tpu import ray_config, reset_from_seed
 
-    layout = os.environ.get("BENCH_LAYOUT", "packed")
+    layout = os.environ.get("BENCH_LAYOUT", "packed_fused")
     cfg = ray_config()
     state = reset_from_seed(cfg, 0, B)
     key = jax.random.PRNGKey(0)

@@ -160,8 +160,15 @@ def unpack(cfg: EnvConfig, p: PackedState, desired_rows, init_rows) -> TSlotStat
     )
 
 
-def _step_p(cfg: EnvConfig, s: PackedState, action: jax.Array):
-    """One batched step; ``action`` int16[B]. Mirrors transposed_rollout._step_t."""
+def _step_p(cfg: EnvConfig, s: PackedState, action: jax.Array, dtype=i16):
+    """One batched step; ``action`` int[B]. Mirrors transposed_rollout._step_t.
+
+    ``dtype`` selects the integer element type (all values fit in int16; the
+    scan engine uses int16 to halve carry HBM traffic, while the fused Pallas
+    kernel passes int32 — v5e Mosaic cannot lower packed-int16 vector
+    compares). The algebra is dtype-independent, so results are bit-identical.
+    """
+    i16 = dtype  # shadows the module alias for every cast below
     W = i16(cfg.width)
     held_key = i16(cfg.height * cfg.width)
     one = i16(1)
@@ -181,10 +188,12 @@ def _step_p(cfg: EnvConfig, s: PackedState, action: jax.Array):
     at_here = s.slot_key == cur_key  # [8, B] — needed for the pickup update
     at_there = s.slot_key == new_key
     at_init_there = (s.init_key == new_key).astype(i16)
-    codes = jnp.sum(
-        at_there.astype(i16) * s.slot_type + (at_init_there * s.init_type << 4),
-        axis=0, dtype=i16,
-    )  # [B]
+    # unrolled 8-way tree add over the slot axis: bit-identical to
+    # jnp.sum(axis=0) but made of plain elementwise adds, which Mosaic can
+    # lower for int16 (reductions over int16 are NotImplemented) — lets the
+    # fused Pallas kernel (ops/packed_fused.py) reuse this step verbatim
+    v = at_there.astype(i16) * s.slot_type + (at_init_there * s.init_type << 4)
+    codes = ((v[0] + v[1]) + (v[2] + v[3])) + ((v[4] + v[5]) + (v[6] + v[7]))
     obj_here = s.obj_here
     obj_there = codes & i16(15)
     icode_there = (codes >> 4) & i16(15)
