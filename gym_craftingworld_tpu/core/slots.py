@@ -266,7 +266,7 @@ def _step_slots_one(cfg: EnvConfig, s: SlotState, action: jax.Array):
         compute_reward(cfg, achieved, s.desired.astype(jnp.int8)),
         jnp.int32(-1),
     )
-    step_num = s.step_num + 1
+    step_num = jnp.minimum(s.step_num + 1, cfg.max_steps)
     done = (step_num >= cfg.max_steps) | (reward == cfg.max_steps)
 
     new_s = s._replace(

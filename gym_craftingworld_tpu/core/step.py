@@ -185,7 +185,7 @@ def _step_one(cfg: EnvConfig, state: EnvState, action: jax.Array):
         compute_reward(cfg, achieved, state.desired.astype(jnp.int8)),
         jnp.int32(-1),
     )
-    step_num = state.step_num + 1
+    step_num = jnp.minimum(state.step_num + 1, cfg.max_steps)
     done = (step_num >= cfg.max_steps) | (reward == cfg.max_steps)
 
     new_state = state.replace(

@@ -181,7 +181,7 @@ def _step_block(cfg: EnvConfig, state, action):
     else:
         success = jnp.all(desired <= achieved, axis=1, keepdims=True)
     reward = jnp.where(changed & success, cfg.max_steps, -1).astype(i32)  # [B, 1]
-    step_num = step_num + 1
+    step_num = jnp.minimum(step_num + 1, cfg.max_steps)
     done = ((step_num >= cfg.max_steps) | (reward == cfg.max_steps)).astype(i32)
 
     new_state = (slot_type, slot_pos_r, slot_pos_c, slot_stat, agent_r, agent_c,

@@ -166,7 +166,10 @@ def _step_p(cfg: EnvConfig, s: PackedState, action: jax.Array, dtype=i16):
     ``dtype`` selects the integer element type (all values fit in int16; the
     scan engine uses int16 to halve carry HBM traffic, while the fused Pallas
     kernel passes int32 — v5e Mosaic cannot lower packed-int16 vector
-    compares). The algebra is dtype-independent, so results are bit-identical.
+    compares). The algebra is dtype-independent, so results are bit-identical:
+    every field is bounded (keys < H*W+2, codes < 16, masks 9 bits) and the
+    step counter saturates at ``max_steps``, so no value ever exceeds int16
+    range at any rollout length.
     """
     i16 = dtype  # shadows the module alias for every cast below
     W = i16(cfg.width)
@@ -303,7 +306,10 @@ def _step_p(cfg: EnvConfig, s: PackedState, action: jax.Array, dtype=i16):
     else:
         success = (s.desired & ~achieved) == 0
     reward = jnp.where(changed & success, i16(cfg.max_steps), i16(-1))
-    step_num = s.step_num + one
+    # saturate at max_steps: done only needs the threshold, episodes always
+    # reset at done, and saturation keeps arbitrarily long no-reset bench
+    # rollouts safe in int16 (no wrap past 32767)
+    step_num = jnp.minimum(s.step_num + one, i16(cfg.max_steps))
     done = (step_num >= cfg.max_steps) | (reward == cfg.max_steps)
 
     new_s = s._replace(

@@ -197,7 +197,7 @@ def _step_t(cfg: EnvConfig, s: TSlotState, action: jax.Array):
     else:
         success = jnp.all(s.desired <= achieved, axis=0)
     reward = jnp.where(changed & success, cfg.max_steps, -1).astype(jnp.int32)
-    step_num = s.step_num + 1
+    step_num = jnp.minimum(s.step_num + 1, cfg.max_steps)
     done = (step_num >= cfg.max_steps) | (reward == cfg.max_steps)
 
     new_s = s._replace(

@@ -102,3 +102,26 @@ def test_packed_rollout_long_horizon_crafting_chain():
         np.asarray(tr.transpose_in(sl_p).achieved), np.asarray(ts_ref.achieved))
     # sanity: at least some achieved bits latched during the run
     assert int(np.asarray(ts_ref.achieved).sum()) > 0
+
+
+def test_long_rollout_past_int16_wrap_point():
+    """Regression: step_num saturates at max_steps, so a no-reset rollout of
+    T > 32767 stays semantically valid in int16 (done never un-sets, and the
+    packed engine still matches the int32 transposed scan bit-for-bit)."""
+    cfg = flat_config()
+    B, T = 8, 33000
+    slots = sm.from_env_state(reset_from_seed(cfg, 3, B))
+    actions = jax.random.randint(jax.random.PRNGKey(11), (T, B), 0, 6,
+                                 dtype=jnp.int32)
+
+    ts_ref, (r_ref, d_ref, _) = _scan_t(cfg, slots, actions)
+    sl_p, out = pr.rollout_p(cfg, slots, actions, T)
+
+    d = np.asarray(out.done)
+    assert d[cfg.max_steps - 1 :].all(), "done must stay latched past max_steps"
+    np.testing.assert_array_equal(d, np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(out.reward), np.asarray(r_ref))
+    assert np.asarray(sl_p.step_num).max() == cfg.max_steps
+    np.testing.assert_array_equal(
+        np.asarray(sl_p.step_num), np.asarray(ts_ref.step_num)
+    )

@@ -124,3 +124,13 @@ def test_stacking_false_single_task():
     assert int(np.sum(env.desired_goal_vector)) == 1
     cfg = ray_config(stacking=False)
     run_lockstep(cfg, env, 8, n_steps=200)
+
+
+@pytest.mark.parametrize("seed", [6])
+def test_altobs_trajectory_parity(seed):
+    """AltObs shares Ray's 21x21 mechanics (craftingworld_altobs.py:85) —
+    lock-step the engine against it so all four variants are covered."""
+    env = oracle.make_reference_env("altobs", seed=seed)
+    env.reset()
+    cfg = ray_config()
+    run_lockstep(cfg, env, seed, n_steps=350)
