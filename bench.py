@@ -25,7 +25,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 B = int(os.environ.get("BENCH_ENVS", 16384))
-T = int(os.environ.get("BENCH_STEPS", 16384))
+# T=65536 puts ~90ms of device time against the ~30-40ms relay constant, so
+# the T-vs-T/2 delta (~45ms) is several times the relay jitter (step_num
+# saturates at max_steps, so arbitrarily long no-reset rollouts are safe)
+T = int(os.environ.get("BENCH_STEPS", 65536))
 ITERS = int(os.environ.get("BENCH_ITERS", 9))
 TIMING = os.environ.get("BENCH_TIMING", "delta")
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -132,7 +135,7 @@ def _median_time(roll, state, key, n, iters):
         int(checksum)  # host sync through the relay
         times.append(time.time() - t0)
     times.sort()
-    return times[len(times) // 2], state
+    return times[len(times) // 2], times, state
 
 
 def main():
@@ -157,17 +160,46 @@ def main():
         state, checksum = roll(state, key, T // 2)
         int(checksum)
 
-    med_full, state = _median_time(roll, state, key, T, max(ITERS, 5))
+    med_full, times_full, state = _median_time(roll, state, key, T,
+                                               max(ITERS, 5))
+    spread = {}
     if TIMING == "delta":
-        med_half, state = _median_time(
+        med_half, times_half, state = _median_time(
             roll, state, jax.random.fold_in(key, 999), T // 2, max(ITERS, 5))
         dt = med_full - med_half
         if dt > 0:
             steps_per_s = B * (T - T // 2) / dt
         else:  # relay jitter swamped the delta; fall back to absolute
             steps_per_s = B * T / med_full
+        # per-run throughput estimates (each full-T run against the median
+        # half-T time): min/max bound the relay-jitter uncertainty. One run
+        # is trimmed from each end — multi-second relay stalls are a property
+        # of the tunnel, not the chip (outliers_dropped records the trim).
+        ests = sorted(
+            B * (T - T // 2) / (t - med_half)
+            for t in times_full
+            if t > med_half
+        )
+        trimmed = ests[1:-1] if len(ests) >= 5 else ests
+        if trimmed:
+            spread = {
+                "runs": len(times_full),
+                "min": round(trimmed[0]),
+                "max": round(trimmed[-1]),
+                "spread_pct": round(
+                    100 * (trimmed[-1] - trimmed[0]) / steps_per_s, 1
+                ),
+                "outliers_dropped": len(ests) - len(trimmed),
+            }
     else:
         steps_per_s = B * T / med_full
+        ests = sorted(B * T / t for t in times_full)
+        spread = {
+            "runs": len(times_full),
+            "min": round(ests[0]),
+            "max": round(ests[-1]),
+            "spread_pct": round(100 * (ests[-1] - ests[0]) / steps_per_s, 1),
+        }
 
     print(
         json.dumps(
@@ -178,6 +210,7 @@ def main():
                 "vs_baseline": round(steps_per_s / baseline, 1)
                 if baseline == baseline
                 else None,
+                **spread,
             }
         )
     )

@@ -210,6 +210,45 @@ def fused_rollout_packed_bench(cfg: EnvConfig, slots: SlotState, seed,
     return state, jnp.sum(outs[-1])
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def fused_action_stream(B: int, seed, num_steps: int):
+    """The bench kernel's raw in-kernel PRNG action stream, as int32[T, B].
+
+    Uses the *identical* per-block seeding (``seed + program_id``) and decode
+    (``bits % 6``) as ``_bench_kernel`` — so uniformity, seed-divergence, and
+    per-block independence of the headline benchmark's action distribution can
+    be validated on real hardware (tests_tpu/test_tpu_engine.py). The ~2^32%6
+    modulo bias is ≈1e-9 per action — far below any test's resolution.
+    """
+    block = _block_size(B)
+    R = block // LANES
+
+    def kernel(seed_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        def body(t, carry):
+            bits = pltpu.prng_random_bits((R, LANES))
+            o_ref[t] = (bits % jnp.uint32(6)).astype(KDT)
+            return carry
+
+        jax.lax.fori_loop(0, num_steps, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // block,),
+        in_specs=[],
+        out_specs=[pl.BlockSpec((num_steps, R, LANES), lambda i, *a: (0, i, 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_steps, B // LANES, LANES), KDT)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(jnp.asarray([seed], jnp.int32))
+    return _unfold(out[0])
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def fused_rollout_packed(cfg: EnvConfig, slots: SlotState, actions,
                          num_steps: int):
