@@ -33,8 +33,9 @@ loop around what the TPU is fast at:
   the update consumes, so minibatching is a pure column gather and the policy
   sees bit-identical inputs in collect and update.
 
-Measured on v5e (16k envs, 21x21, rollout_steps=64): ~4e7 env-steps/s through
-the full PPO loop (see docs/training.md for method).
+Measured on v5e (16k envs, 21x21, rollout_steps=64): ~84 ms/update =
+1.25e7 env-steps/s through the full PPO loop (collect alone ~8e7), ~120x the
+reference-parity path; delta-timed via train_many_fast (tools/fast_ppo_bench.py).
 """
 
 from __future__ import annotations
