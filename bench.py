@@ -25,10 +25,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 B = int(os.environ.get("BENCH_ENVS", 16384))
+_LAYOUT = os.environ.get("BENCH_LAYOUT", "packed_fused")
 # T=65536 puts ~90ms of device time against the ~30-40ms relay constant, so
 # the T-vs-T/2 delta (~45ms) is several times the relay jitter (step_num
-# saturates at max_steps, so arbitrarily long no-reset rollouts are safe)
-T = int(os.environ.get("BENCH_STEPS", 65536))
+# saturates at max_steps, so arbitrarily long no-reset rollouts are safe).
+# Obs-interleaved rollouts (BENCH_LAYOUT=obs_*) render a full observation
+# batch per step (~1ms each at 16k), so T=2048 already gives ~2s of device
+# time per run.
+T = int(os.environ.get("BENCH_STEPS",
+                       2048 if _LAYOUT.startswith("obs_") else 65536))
 ITERS = int(os.environ.get("BENCH_ITERS", 9))
 TIMING = os.environ.get("BENCH_TIMING", "delta")
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -90,6 +95,13 @@ def _make_engine(layout, cfg, state):
             return pfu.fused_rollout_packed_bench(cfg, st, seed, n)
 
         return roll, state
+    if layout.startswith("obs_"):  # obs_ray | obs_altobs | obs_onehot
+        from gym_craftingworld_tpu.ops import obs_rollout as obr
+
+        obs_mode = layout[4:]
+        state = sm.from_env_state(state)
+        return (lambda st, key, n: obr.rollout_obs_random(
+            cfg, st, key, n, obs_mode)), state
     if layout == "packed":
         from gym_craftingworld_tpu.ops import packed_rollout as pr
 
@@ -146,7 +158,7 @@ def main():
 
     from gym_craftingworld_tpu import ray_config, reset_from_seed
 
-    layout = os.environ.get("BENCH_LAYOUT", "packed_fused")
+    layout = _LAYOUT
     cfg = ray_config()
     state = reset_from_seed(cfg, 0, B)
     key = jax.random.PRNGKey(0)
@@ -204,7 +216,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"env_steps_per_s_per_chip_{B//1024}k_envs",
+                "metric": (
+                    f"env_steps_with_{layout[4:]}_obs_per_s_per_chip_"
+                    f"{B//1024}k_envs"
+                    if layout.startswith("obs_")
+                    else f"env_steps_per_s_per_chip_{B//1024}k_envs"
+                ),
                 "value": round(steps_per_s),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_s / baseline, 1)

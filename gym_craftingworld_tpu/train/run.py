@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", type=str, default="")
     p.add_argument("--ckpt-every", type=int, default=50)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest step_* checkpoint in "
+                        "--ckpt-dir; continuation is bit-identical to an "
+                        "uninterrupted run (tests/test_resume.py)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--eval-every", type=int, default=0,
                    help="greedy-eval cadence in updates (0 = off)")
@@ -40,6 +44,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    # honor an explicit JAX_PLATFORMS even where a sitecustomize re-pins the
+    # platform at interpreter start (the sandbox's axon relay does)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from gym_craftingworld_tpu import constants as C
     from gym_craftingworld_tpu.config import EnvConfig, resolve_selected_tasks
@@ -75,13 +84,43 @@ def main(argv=None):
     ts = jax.device_put(ts, replicated(mesh))
     key = jax.device_put(jax.random.PRNGKey(args.seed + 1), replicated(mesh))
 
+    start_u = 0
+    if args.resume:
+        from gym_craftingworld_tpu.train import checkpoint
+
+        if not args.ckpt_dir:
+            raise SystemExit("--resume requires --ckpt-dir")
+        ckpt_root = os.path.abspath(args.ckpt_dir)
+        steps = sorted(
+            int(d.split("_", 1)[1])
+            for d in os.listdir(ckpt_root)
+            if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+        )
+        if not steps:
+            raise SystemExit(f"--resume: no step_* checkpoints in {ckpt_root}")
+        path = os.path.join(ckpt_root, f"step_{steps[-1]}")
+        template = checkpoint._as_ckpt(ts, env_state, key, 0)
+        restored = checkpoint.restore(path, template)
+        ts = type(ts)(**restored["train_state"])
+        env_state = restored["env_state"]
+        key = restored["key"]
+        start_u = int(restored["step"])
+        # restore() materialises on default devices; re-lay-out over the mesh
+        from gym_craftingworld_tpu.parallel.mesh import env_sharding
+
+        env_state = jax.device_put(env_state, env_sharding(mesh))
+        ts = jax.device_put(ts, replicated(mesh))
+        key = jax.device_put(key, replicated(mesh))
+        print(json.dumps({"resumed_from": path, "update": start_u}),
+              flush=True)
+
     from gym_craftingworld_tpu.utils.profiling import Throughput, trace
 
     steps_per_update = args.envs * ppo.rollout_steps
     tput = Throughput()
     t_start = time.time()
     last_log_t, last_log_u = None, 0
-    for u in range(args.updates):
+    for u in range(start_u, args.updates):
         with trace("train_step"):
             ts, env_state, key, metrics = train_step(cfg, ppo, ts, env_state, key)
         tput.tick(steps_per_update)
