@@ -74,17 +74,32 @@ class CraftingWorldEnvRay:
         seed=None,
         batch_size=1,
         rng_mode="fast",
+        incremental_render=False,
     ):
         """``rng_mode='fast'`` (default) uses on-device jax.random resets —
         same distributions as the reference, different bitstream.
         ``rng_mode='parity'`` (batch_size 1 only) replays the reference's
         RandomState draw sequence on the host (parity/host_rng.py), making
-        whole episodes bit-exact with a reference env under the same seed."""
+        whole episodes bit-exact with a reference env under the same seed.
+        ``incremental_render=True`` (pixel variants, batch_size 1 only)
+        maintains the observation image on the host and repaints only the
+        cells a step changed — the reference's ``render_edit`` fast path
+        (craftingworld_ray.py:522-557) for interactive single-env use;
+        byte-exact with the full render (tests/test_incremental_render.py)."""
         if rng_mode not in ("fast", "parity"):
             raise ValueError(f"unknown rng_mode {rng_mode!r}")
         if rng_mode == "parity" and batch_size != 1:
             raise ValueError("rng_mode='parity' requires batch_size=1")
         self.rng_mode = rng_mode
+        if incremental_render and (
+            batch_size != 1 or not self._supports_incremental
+        ):
+            raise ValueError(
+                "incremental_render requires batch_size=1 and a 4x4-px pixel "
+                "variant (Ray/Flat)"
+            )
+        self.incremental_render = bool(incremental_render)
+        self._inc = None
         size = size or self._DEFAULT_SIZE
         max_steps = max_steps or self._DEFAULT_MAX_STEPS
         task_list = list(task_list) if task_list is not None else TASK_LIST
@@ -260,12 +275,49 @@ class CraftingWorldEnvRay:
 
     # -- observations per variant ------------------------------------------
 
+    _supports_incremental = True
+
     def _images(self):
         return raster.state_images_ray(self._state)
 
     def _observation(self):
+        if self.incremental_render and self._inc is not None:
+            return self._observation_incremental()
         imgs = self._images()
         obs = {k: self._unbatch(v) for k, v in imgs.items()}
+        self._cached["observation"] = obs
+        if self.incremental_render:
+            # Seed the host-side image + state mirror for render_edit steps;
+            # desired/init are static for the episode so the full path's
+            # per-step re-render of them is skipped entirely from here on.
+            self._inc = {
+                "img": np.array(obs["observation"]),
+                "desired": obs["desired_goal"],
+                "init": obs["init_observation"],
+                "objects": np.asarray(self._state.objects[0]),
+                "agent": tuple(int(x) for x in np.asarray(self._state.agent[0])),
+            }
+        return obs
+
+    def _observation_incremental(self):
+        """render_edit fast path: pull only the tiny packed state (≤½ KB) and
+        repaint the ≤2 tiles a step can change, instead of rendering and
+        transferring four full frames."""
+        inc = self._inc
+        new_obj = np.asarray(self._state.objects[0])
+        new_agent = tuple(int(x) for x in np.asarray(self._state.agent[0]))
+        new_hold = int(self._state.holding[0])
+        changed = {new_agent, inc["agent"]}
+        changed.update(map(tuple, np.argwhere(new_obj != inc["objects"]).tolist()))
+        raster.render_edit(inc["img"], new_obj, new_agent, new_hold, changed)
+        inc["objects"], inc["agent"] = new_obj, new_agent
+        img = inc["img"].copy()  # observations stay unaliased (module header)
+        obs = {
+            "observation": img,
+            "achieved_goal": img,
+            "desired_goal": inc["desired"].copy(),
+            "init_observation": inc["init"].copy(),
+        }
         self._cached["observation"] = obs
         return obs
 
@@ -303,6 +355,7 @@ class CraftingWorldEnvRay:
 
         self._state = self._do_reset()
         self._cached = {}
+        self._inc = None  # next _observation() re-seeds the render_edit mirror
         if self.step_num != 0:
             self.ep_no += 1
         self.step_num = 0
@@ -462,6 +515,8 @@ class CraftingWorldEnvOneHot(CraftingWorldEnvRay):
     """One-hot observation variant: the obs dict carries raw (H, W, 12) states;
     desired_goal is the imagined final one-hot state (carftingworld_onehot.py:202-207)."""
 
+    _supports_incremental = False  # obs is the raw state, nothing to repaint
+
     def _build_observation_space(self):
         box = spaces.Box(
             0, 1, (self.STATE_W, self.STATE_H, C.N_CHANNELS), dtype=np.uint8
@@ -488,6 +543,8 @@ class CraftingWorldEnvOneHot(CraftingWorldEnvRay):
 class CraftingWorldEnvAltObs(CraftingWorldEnvRay):
     """3x3-px tile observation with a bottom status strip; optional stacked obs
     (craftingworld_altobs.py:115-119,258-259,408-411)."""
+
+    _supports_incremental = False  # 3x3 tile layout; fast path is Ray/Flat only
 
     def __init__(self, *args, stacked_obs=False, **kwargs):
         self.stacked_obs = stacked_obs

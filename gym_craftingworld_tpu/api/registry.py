@@ -88,6 +88,37 @@ def _gymnasium_adapter_cls():
     return _adapter_cls
 
 
+def register_legacy_gym(use_bundled_shim: bool = False):
+    """Register all ids with the legacy ``gym`` registry (``gym.make``).
+
+    Reproduces the reference's import-time registration
+    (gym_craftingworld/__init__.py:5-18): code written against classic gym's
+    ``gym.make('craftingworld-v3')`` then constructs these envs with the
+    reference default kwargs. Legacy gym is long dead and usually not
+    installed; ``use_bundled_shim=True`` puts the parity shim
+    (parity/gymshim) on ``sys.path`` so ``import gym`` works regardless.
+    Returns True if a ``gym`` module was found and registration ran.
+    """
+    if use_bundled_shim:
+        import sys
+
+        from gym_craftingworld_tpu.parity.oracle import _SHIM_PATH
+
+        if _SHIM_PATH not in sys.path:
+            sys.path.insert(0, _SHIM_PATH)
+    try:
+        from gym.envs.registration import register as gym_register
+    except ImportError:  # pragma: no cover - no gym, no shim requested
+        return False
+    for env_id, (cls, kwargs) in REGISTRY.items():
+        entry = f"gym_craftingworld_tpu.api.gym_env:{cls.__name__}"
+        try:
+            gym_register(id=env_id, entry_point=entry, kwargs=dict(kwargs))
+        except Exception:
+            pass  # real legacy gym raises on re-registration; keep the first
+    return True
+
+
 def register_gymnasium(prefix: str = ""):
     """Register all ids with gymnasium (no-op if gymnasium is unavailable)."""
     try:

@@ -107,6 +107,43 @@ def render_ray(objects, agent, holding):
 
 
 # ---------------------------------------------------------------------------
+# Host-side incremental repaint (reference render_edit)
+# ---------------------------------------------------------------------------
+
+_PALETTE_NP = np.asarray(C.COLORS_N, np.uint8)  # [9, 3]; row 0 = black/empty
+
+
+def render_edit(img, objects, agent, holding, cells):
+    """Repaint only ``cells`` of a Ray-style image, in place (host numpy).
+
+    The TPU-correct design re-renders the whole batch on device
+    (:func:`render_ray`); this is the single-env *interactive* fast path
+    mirroring the reference's incremental renderer
+    (craftingworld_ray.py:522-557), which touches at most two 4x4-px tiles
+    per step instead of the full frame. Byte-exact with ``render_ray`` on the
+    repainted cells (tests/test_incremental_render.py).
+
+    img:      uint8[4H, 4W, 3] — mutated in place and returned
+    objects:  int[H, W] packed codes (0 = empty, 1..8 = object)
+    agent:    (row, col) of the agent now
+    holding:  packed held code 0..3
+    cells:    iterable of (row, col) cell coordinates to repaint
+    """
+    ar, ac = int(agent[0]), int(agent[1])
+    for r, c in cells:
+        img[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] = _PALETTE_NP[
+            int(objects[r, c])
+        ]
+        if r == ar and c == ac:
+            # white 2x2 agent block; held-item colour on its bottom row
+            # (craftingworld_ray.py:483-486 / :545-557)
+            img[4 * r + 1 : 4 * r + 3, 4 * c + 1 : 4 * c + 3] = 255
+            if holding:
+                img[4 * r + 2, 4 * c + 1 : 4 * c + 3] = _PALETTE_NP[int(holding)]
+    return img
+
+
+# ---------------------------------------------------------------------------
 # AltObs: 3x3-px tiles + bottom status strip
 # ---------------------------------------------------------------------------
 
