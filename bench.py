@@ -26,14 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 B = int(os.environ.get("BENCH_ENVS", 16384))
 _LAYOUT = os.environ.get("BENCH_LAYOUT", "packed_fused")
-# T=65536 puts ~90ms of device time against the ~30-40ms relay constant, so
-# the T-vs-T/2 delta (~45ms) is several times the relay jitter (step_num
+# T=131072 puts ~120ms of device time against the ~30-40ms relay constant, so
+# the T-vs-T/2 delta (~60ms) is several times the relay jitter (step_num
 # saturates at max_steps, so arbitrarily long no-reset rollouts are safe).
 # Obs-interleaved rollouts (BENCH_LAYOUT=obs_*) render a full observation
 # batch per step (~1ms each at 16k), so T=2048 already gives ~2s of device
 # time per run.
 T = int(os.environ.get("BENCH_STEPS",
-                       2048 if _LAYOUT.startswith("obs_") else 65536))
+                       2048 if _LAYOUT.startswith("obs_") else 131072))
 ITERS = int(os.environ.get("BENCH_ITERS", 9))
 TIMING = os.environ.get("BENCH_TIMING", "delta")
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -327,6 +327,207 @@ def _step_p(cfg: EnvConfig, s: PackedState, action: jax.Array, dtype=i16):
                              changed=changed)
 
 
+# --------------------------------------------------------------------------
+# Slot-unrolled step: same algebra with the slot axis unrolled and each
+# slot's statically-known transition structure applied.
+#
+# Slot k starts as object code k+1 (core/slots.py reset layout), and the
+# effect table (craftingworld_ray.py:416-438) only ever transforms
+# tree→sticks, sticks→house, wheat→bread and removes rock/bread. Hence:
+#
+#   slot 0 sticks  — type can change (→house); pickupable
+#   slot 1 axe     — type constant; pickupable
+#   slot 2 hammer  — type constant; pickupable
+#   slot 3 rock    — type constant; removable only, never held
+#   slot 4 tree    — type can change (→sticks→house); pickupable once sticks
+#   slot 5 bread   — type constant; removable only
+#   slot 6 house   — fully constant (never transforms, moves, or leaves)
+#   slot 7 wheat   — type can change (→bread); removable once bread
+#
+# Skipping the statically-impossible updates is bit-identical to _step_p:
+# every skipped select's predicate is provably false there (one-object-per-
+# cell ⇒ a hit slot's type equals obj_there, so removal can only fire on
+# slots that can be rock/bread, pickup/drop only on slots that can carry a
+# pickupable type). Equivalence is pinned exhaustively in
+# tests/test_packed_rollout.py::test_unrolled_step_bit_identical.
+# --------------------------------------------------------------------------
+
+_DYNTYPE_SLOTS = (0, 4, 7)  # sticks→house, tree→sticks→house, wheat→bread
+_REMOVABLE_SLOTS = (3, 5, 7)  # rock, bread, wheat(→bread)
+_PICKUP_SLOTS = (0, 1, 2, 4)  # sticks, axe, hammer, tree(→sticks)
+
+
+def _step_p_unrolled(cfg: EnvConfig, s: PackedState, action: jax.Array,
+                     dtype=i16):
+    """Slot-unrolled `_step_p` (same signature, bit-identical results).
+
+    ~30% fewer vector ops per step: the destination-cell reduction selects
+    compile-time type constants for the 5 fixed-type slots, the init-code
+    reduction uses per-slot constants with no pack/unpack shifts, and the
+    slot-update selects run only on the slots whose class allows the update.
+    """
+    i16 = dtype
+    W = i16(cfg.width)
+    held_key = i16(cfg.height * cfg.width)
+    one = i16(1)
+
+    dr = (action == C.ACTION_DOWN).astype(i16) - (action == C.ACTION_UP).astype(i16)
+    dc = (action == C.ACTION_RIGHT).astype(i16) - (action == C.ACTION_LEFT).astype(i16)
+    is_move = action < C.ACTION_PICKUP
+
+    new_r = jnp.clip(s.agent_r + dr, 0, i16(cfg.height - 1))
+    new_c = jnp.clip(s.agent_c + dc, 0, i16(cfg.width - 1))
+
+    cur_key = s.agent_r * W + s.agent_c
+    new_key = new_r * W + new_c
+    # (row, col) ↔ key is a bijection, so one key compare replaces the
+    # two-coordinate moved check
+    moved_pos = new_key != cur_key
+
+    key = [s.slot_key[i] for i in range(8)]
+    typ = [s.slot_type[i] for i in range(8)]
+    ikey = [s.init_key[i] for i in range(8)]
+
+    # destination-cell codes: two separate 8-way tree adds (no 4-bit packing)
+    at_there = [key[i] == new_key for i in range(8)]
+    zero = i16(0)
+    v = [
+        jnp.where(at_there[i], typ[i] if i in _DYNTYPE_SLOTS else i16(i + 1),
+                  zero)
+        for i in range(8)
+    ]
+    obj_there = ((v[0] + v[1]) + (v[2] + v[3])) + ((v[4] + v[5]) + (v[6] + v[7]))
+    iv = [jnp.where(ikey[i] == new_key, i16(i + 1), zero) for i in range(8)]
+    icode_there = ((iv[0] + iv[1]) + (iv[2] + iv[3])) + (
+        (iv[4] + iv[5]) + (iv[6] + iv[7])
+    )
+
+    obj_here = s.obj_here
+    holding = s.holding
+    blocked = ((obj_there == C.ROCK) & (holding != C.HOLD_HAMMER)) | (
+        (obj_there == C.TREE) & (holding != C.HOLD_AXE)
+    )
+    move_ok = is_move & moved_pos & ~blocked
+
+    can_pickup = (
+        (action == C.ACTION_PICKUP)
+        & (obj_here >= C.STICKS)
+        & (obj_here <= C.HAMMER)
+        & (holding == C.HOLD_NONE)
+    )
+    can_drop = (
+        (action == C.ACTION_DROP)
+        & (holding != C.HOLD_NONE)
+        & (obj_here == C.EMPTY)
+    )
+
+    # crafting effects on the scalar code (craftingworld_ray.py:416-438)
+    eff = obj_there
+    eff = jnp.where(obj_there == C.TREE, i16(C.STICKS), eff)
+    eff = jnp.where((obj_there == C.STICKS) & (holding == C.HOLD_HAMMER),
+                    i16(C.HOUSE), eff)
+    eff = jnp.where((obj_there == C.WHEAT) & (holding == C.HOLD_AXE),
+                    i16(C.BREAD), eff)
+    removed = (obj_there == C.ROCK) | (obj_there == C.BREAD)
+
+    # slot updates, restricted to each slot's statically-possible transitions
+    new_typ = list(typ)
+    new_keys = list(key)
+    for i in _DYNTYPE_SLOTS:
+        new_typ[i] = jnp.where(at_there[i] & move_ok, eff, typ[i])
+    for i in _REMOVABLE_SLOTS:
+        new_keys[i] = jnp.where(at_there[i] & move_ok & removed,
+                                held_key + one, key[i])
+    for i in _PICKUP_SLOTS:
+        new_keys[i] = jnp.where(can_pickup & (key[i] == cur_key), held_key,
+                                new_keys[i])
+        new_keys[i] = jnp.where(can_drop & (key[i] == held_key), cur_key,
+                                new_keys[i])
+
+    agent_r = jnp.where(move_ok, new_r, s.agent_r)
+    agent_c = jnp.where(move_ok, new_c, s.agent_c)
+    new_holding = jnp.where(can_pickup, obj_here,
+                            jnp.where(can_drop, i16(C.HOLD_NONE), holding))
+
+    # task evaluation as bit algebra (identical to _step_p)
+    a = s.achieved
+    eat = move_ok & (obj_there == C.BREAD)
+    chop_rock = move_ok & (obj_there == C.ROCK)
+    chop_tree = move_ok & (obj_there == C.TREE)
+    make_bread = move_ok & (obj_there == C.WHEAT) & (holding == C.HOLD_AXE)
+    build_house = move_ok & (obj_there == C.STICKS) & (holding == C.HOLD_HAMMER)
+
+    b = lambda m: m.astype(i16)
+    latched = a | (
+        (b(make_bread) << C.T_MAKE_BREAD)
+        | (b(eat) << C.T_EAT_BREAD)
+        | (b(build_house) << C.T_BUILD_HOUSE)
+        | (b(chop_tree) << C.T_CHOP_TREE)
+        | (b(chop_rock) << C.T_CHOP_ROCK)
+    )
+
+    cell_final = jnp.where(move_ok, jnp.where(removed, i16(0), eff), obj_here)
+    house = cell_final == C.HOUSE
+
+    icode = jnp.where(move_ok, icode_there, s.icode_here)
+    final_key = jnp.where(move_ok, new_key, cur_key)
+    marked = jnp.where((icode == 0) & (final_key == s.init_agent_key),
+                       i16(C.AGENT_INIT_MARK), icode)
+    a_ctree = ((latched >> C.T_CHOP_TREE) & one) == 1
+    init_empty = marked == C.EMPTY
+    ms = init_empty | ~((marked == C.STICKS) | ((marked == C.TREE) & a_ctree))
+    ma = init_empty | (marked != C.AXE)
+    mh = init_empty | (marked != C.HAMMER)
+
+    hold_sticks = holding == C.HOLD_STICKS
+    hold_axe = holding == C.HOLD_AXE
+    hold_hammer = holding == C.HOLD_HAMMER
+
+    clear = (
+        i16(1 << C.T_GO_TO_HOUSE)
+        | (b(hold_axe) << C.T_MOVE_AXE)
+        | (b(hold_hammer) << C.T_MOVE_HAMMER)
+        | (b(hold_sticks) << C.T_MOVE_STICKS)
+    )
+    setb = (
+        (b(house) << C.T_GO_TO_HOUSE)
+        | (b(hold_axe & ma) << C.T_MOVE_AXE)
+        | (b(hold_hammer & mh) << C.T_MOVE_HAMMER)
+        | (b(hold_sticks & ms) << C.T_MOVE_STICKS)
+    )
+    upd = (latched & ~clear) | setb
+    achieved = jnp.where(is_move, upd, a)
+
+    new_obj_here = jnp.where(
+        move_ok, cell_final,
+        jnp.where(can_pickup, i16(0),
+                  jnp.where(can_drop, holding, obj_here)))
+    new_icode_here = jnp.where(move_ok, icode_there, s.icode_here)
+
+    changed = move_ok | can_pickup | can_drop
+    if cfg.reward_equal:
+        success = achieved == s.desired
+    else:
+        success = (s.desired & ~achieved) == 0
+    reward = jnp.where(changed & success, i16(cfg.max_steps), i16(-1))
+    step_num = jnp.minimum(s.step_num + one, i16(cfg.max_steps))
+    done = (step_num >= cfg.max_steps) | (reward == cfg.max_steps)
+
+    new_s = s._replace(
+        slot_key=jnp.stack(new_keys),
+        slot_type=jnp.stack(new_typ),
+        agent_r=agent_r,
+        agent_c=agent_c,
+        holding=new_holding,
+        obj_here=new_obj_here,
+        icode_here=new_icode_here,
+        achieved=achieved,
+        step_num=step_num,
+    )
+    return new_s, StepResult(reward=reward.astype(jnp.int32), done=done,
+                             changed=changed)
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def rollout_p(cfg: EnvConfig, slots: SlotState, actions, num_steps: int):
     """Step ``actions`` int[T, B] through the packed engine; SlotState I/O."""

@@ -104,6 +104,50 @@ def test_packed_rollout_long_horizon_crafting_chain():
     assert int(np.asarray(ts_ref.achieved).sum()) > 0
 
 
+def test_unrolled_step_bit_identical():
+    """`_step_p_unrolled` must equal `_step_p` field-for-field, every step,
+    under a dense crafting-heavy action mix and both dtypes."""
+    import dataclasses
+
+    for cfg, seed, reward_equal in [
+        (ray_config(), 0, True),
+        (flat_config(), 1, True),
+        (dataclasses.replace(ray_config(), reward_equal=False), 2, False),
+    ]:
+        B, T = 32, 500
+        slots = sm.from_env_state(reset_from_seed(cfg, seed, B))
+        ts = tr.transpose_in(slots)
+        p0 = pr.pack(cfg, ts)
+        moves = jax.random.randint(jax.random.PRNGKey(seed), (T, B), 0, 6,
+                                   dtype=jnp.int32)
+        step_idx = jnp.arange(T, dtype=jnp.int32)[:, None]
+        actions = jnp.where(
+            step_idx % 7 == 6, 4,
+            jnp.where(step_idx % 11 == 10, 5, moves % 4)).astype(jnp.int16)
+
+        for dtype in (jnp.int16, jnp.int32):
+            cast = lambda s: jax.tree.map(lambda x: x.astype(dtype), s)
+
+            def scan(step_fn):
+                def body(c, a):
+                    st, r = step_fn(cfg, c, a.astype(dtype), dtype=dtype)
+                    return st, (r.reward, r.done, r.changed)
+
+                return jax.jit(lambda p, a: jax.lax.scan(body, p, a))(
+                    cast(p0), actions)
+
+            pa, outs_a = scan(pr._step_p)
+            pb, outs_b = scan(pr._step_p_unrolled)
+            for f in pr.PackedState._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(pa, f)), np.asarray(getattr(pb, f)),
+                    err_msg=f"{f} dtype={dtype}")
+            for name, a, b in zip(("reward", "done", "changed"), outs_a, outs_b):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"{name} dtype={dtype}")
+
+
 def test_long_rollout_past_int16_wrap_point():
     """Regression: step_num saturates at max_steps, so a no-reset rollout of
     T > 32767 stays semantically valid in int16 (done never un-sets, and the
