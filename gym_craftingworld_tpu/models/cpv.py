@@ -1,0 +1,96 @@
+"""Compositional plan-vector policy (CPV family).
+
+CraftingWorld was published as the testbed for "Plan Arithmetic:
+Compositional Plan Vectors" (NeurIPS 2019 — reference README.md:8), whose
+core idea is a task-embedding space where composite tasks are *sums* of their
+parts. The reference repo ships the env only; this module provides the
+framework-native model family:
+
+  * each of the 9 skills owns a learned embedding row ``E[i]``;
+  * the policy is conditioned on the **residual plan vector**
+    ``plan = (desired - achieved) @ E`` — what is left to do — so plan
+    vectors compose additively *by construction*:
+    ``plan({A, B}) = plan({A}) + plan({B})``, and finishing A while pursuing
+    {A, B} leaves exactly the vector that conditions the single-task-B policy;
+  * the torso is the same bf16 MXU-tiled MLP as the flagship actor-critic,
+    so the family drops into the BC trainer (train/bc.py) and the PPO
+    learner unchanged.
+
+The practical payoff (exercised in tests/test_cpv.py and
+examples/compositional_tasks.py): train on *single-task* expert
+demonstrations only, then execute *stacked* goal sets zero-shot by walking
+the residual plan vector down to zero.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gym_craftingworld_tpu import constants as C
+from gym_craftingworld_tpu.models.actor_critic import feature_dim
+
+
+class CPVPolicy(nn.Module):
+    """Actor-critic over [grid features, residual plan vector].
+
+    Consumes the same flat ``obs_features`` rows as the flagship model
+    (grid one-hot ++ desired ++ achieved) and splits them internally, so it
+    is API-compatible with train/bc.py and train/ppo.py.
+    """
+
+    height: int
+    width: int
+    embed_dim: int = 32
+    hidden: int = 256
+    n_actions: int = C.N_ACTIONS
+
+    def plan_vector(self, desired, achieved):
+        """Residual plan embedding: (desired - achieved) @ E."""
+        E = self.param(
+            "task_embed",
+            nn.initializers.normal(stddev=1.0),
+            (C.N_TASKS, self.embed_dim),
+        )
+        return (desired - achieved).astype(jnp.float32) @ E
+
+    @nn.compact
+    def __call__(self, obs):
+        grid_dim = self.height * self.width * C.N_CHANNELS
+        if obs.shape[-1] != feature_dim(self.height, self.width):
+            raise ValueError(
+                f"obs width {obs.shape[-1]} != feature_dim("
+                f"{self.height},{self.width})"
+            )
+        grid = obs[..., :grid_dim]
+        desired = obs[..., grid_dim : grid_dim + C.N_TASKS]
+        achieved = obs[..., grid_dim + C.N_TASKS :]
+        plan = self.plan_vector(desired, achieved)
+
+        x = nn.Dense(self.hidden, dtype=jnp.bfloat16, name="grid0")(
+            grid.astype(jnp.bfloat16)
+        )
+        x = nn.relu(x)
+        x = jnp.concatenate([x, plan.astype(jnp.bfloat16)], axis=-1)
+        x = nn.Dense(self.hidden // 2, dtype=jnp.bfloat16, name="torso1")(x)
+        x = nn.relu(x)
+        logits = nn.Dense(self.n_actions, dtype=jnp.float32, name="policy")(x)
+        value = nn.Dense(1, dtype=jnp.float32, name="value")(x)
+        return logits, value.squeeze(-1)
+
+
+def init_cpv(key, height: int, width: int, embed_dim: int = 32,
+             hidden: int = 256):
+    model = CPVPolicy(height=height, width=width, embed_dim=embed_dim,
+                      hidden=hidden)
+    dummy = jnp.zeros((1, feature_dim(height, width)), jnp.float32)
+    return model, model.init(key, dummy)
+
+
+def plan_of(model: CPVPolicy, params, desired, achieved) -> jax.Array:
+    """The residual plan vector for given goal masks (plan arithmetic probe)."""
+    E = params["params"]["task_embed"]
+    return (jnp.asarray(desired) - jnp.asarray(achieved)).astype(
+        jnp.float32
+    ) @ E

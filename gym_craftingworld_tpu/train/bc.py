@@ -56,21 +56,38 @@ class Demos(NamedTuple):
 
 
 def collect_demos(num_episodes: int, seed: int = 0,
-                  only_successful: bool = True, **env_kwargs) -> Demos:
+                  only_successful: bool = True, random_warmup: int = 0,
+                  **env_kwargs) -> Demos:
     """Expert demonstrations over ``num_episodes`` seeded resets.
 
     ``env_kwargs`` pass through to :class:`CraftingWorldEnvRay` (grid size,
     ``selected_tasks``, ``stacking``, ``fixed_init_state`` pool, ...). With
     ``only_successful`` (default) episodes where the expert failed are
     dropped, so the dataset contains only goal-reaching behaviour.
+
+    ``random_warmup > 0`` takes 0..N unrecorded random *move* steps before
+    handing control to the expert — standard noise injection that widens
+    state coverage so a cloned policy recovers from off-demonstration states
+    (essential for compositional execution, where task handoffs land the
+    agent in positions no single-task demonstration starts from).
     """
     env = CraftingWorldEnvRay(seed=seed, **env_kwargs)
+    wrng = np.random.RandomState(seed + 977)
     feats: list[np.ndarray] = []
     acts: list[int] = []
     eps: list[int] = []
     kept = 0
     for _ in range(num_episodes):
         env.reset()
+        if random_warmup:
+            dead = False
+            for _ in range(wrng.randint(0, random_warmup + 1)):
+                _, _, done, _ = env.step(int(wrng.randint(4)))
+                if done:  # warmup stumbled into the goal; drop the episode
+                    dead = True
+                    break
+            if dead:
+                continue
         expert = ExpertPolicy(env)
         ep_f: list[np.ndarray] = []
         ep_a: list[int] = []
@@ -99,15 +116,67 @@ def collect_demos(num_episodes: int, seed: int = 0,
     )
 
 
+def augment_stacked_goals(demos: Demos, height: int, width: int,
+                          first_task: int, second_task: int) -> Demos:
+    """Plan-space augmentation for compositional execution (no new rollouts).
+
+    Re-labels the *goal masks* of single-task demonstration rows so the
+    cloned policy learns to execute the stacked set {first, second} in order,
+    without a single stacked trajectory ever being collected:
+
+      * rows demonstrating ``first_task`` get ``second_task`` added to
+        ``desired`` (act on *first* while *second* is still pending);
+      * rows demonstrating ``second_task`` get ``first_task`` added to both
+        ``desired`` and ``achieved`` (act on *second* once *first* is done).
+
+    Exact for latching tasks (MakeBread/EatBread/BuildHouse/ChopTree/
+    ChopRock — craftingworld_ray.py:657-665,686-697), whose achieved bits
+    never un-set; for the non-latching Move*/GoToHouse bits the "already
+    done" relabel is an approximation. The returned Demos holds only the
+    augmented rows — concatenate with the originals for training.
+    """
+    grid_dim = height * width * C.N_CHANNELS
+    des = demos.features[:, grid_dim : grid_dim + C.N_TASKS]
+    rows_first = des[:, first_task] == 1
+    rows_second = des[:, second_task] == 1
+    f1 = demos.features[rows_first].copy()
+    f1[:, grid_dim + second_task] = 1
+    f2 = demos.features[rows_second].copy()
+    f2[:, grid_dim + first_task] = 1
+    f2[:, grid_dim + C.N_TASKS + first_task] = 1
+    return Demos(
+        np.concatenate([f1, f2]),
+        np.concatenate([demos.actions[rows_first],
+                        demos.actions[rows_second]]),
+        np.concatenate([demos.episode[rows_first],
+                        demos.episode[rows_second]]),
+    )
+
+
+def concat_demos(*parts: Demos) -> Demos:
+    """Concatenate datasets, re-basing episode indices to stay unique."""
+    feats, acts, eps = [], [], []
+    base = 0
+    for d in parts:
+        feats.append(d.features)
+        acts.append(d.actions)
+        eps.append(d.episode + base)
+        base += d.num_episodes
+    return Demos(np.concatenate(feats), np.concatenate(acts),
+                 np.concatenate(eps))
+
+
 def bc_train(demos: Demos, key, height: int, width: int, hidden: int = 256,
-             epochs: int = 30, batch_size: int = 256, lr: float = 1e-3):
+             epochs: int = 30, batch_size: int = 256, lr: float = 1e-3,
+             model_and_params=None):
     """Clone the expert: cross-entropy on actions over shuffled minibatches.
 
     Returns ``(model, params, metrics)`` where metrics carries per-epoch
-    ``loss`` and final training ``accuracy``. The params are a standard
-    ActorCritic pytree — reusable as a PPO init (the value head stays at its
-    random init; only the policy head and torso receive BC gradients through
-    the policy loss).
+    ``loss`` and final training ``accuracy``. By default trains the flagship
+    ActorCritic; pass ``model_and_params`` (e.g. from models/cpv.init_cpv) to
+    clone any family whose ``apply(params, obs) -> (logits, value)``. The
+    params are reusable as a PPO init (the value head stays at its random
+    init; only the policy head and torso receive BC gradients).
     """
     from gym_craftingworld_tpu.models.actor_critic import feature_dim
 
@@ -117,7 +186,10 @@ def bc_train(demos: Demos, key, height: int, width: int, hidden: int = 256,
             f"a {height}x{width} grid ({feature_dim(height, width)})"
         )
     key, init_key = jax.random.split(key)
-    model, params = init_params(init_key, height, width, hidden)
+    if model_and_params is None:
+        model, params = init_params(init_key, height, width, hidden)
+    else:
+        model, params = model_and_params
 
     tx = optax.adam(lr)
     opt_state = tx.init(params)
@@ -193,3 +265,31 @@ def evaluate_bc(model, params, num_episodes: int, seed: int = 0,
         "mean_success_steps": float(np.mean(steps_used)) if steps_used else None,
         "episodes": num_episodes,
     }
+
+
+def evaluate_bc_stacked(model, params, num_episodes: int, seed: int = 0,
+                        n_tasks: int = 2, **env_kwargs) -> dict:
+    """Greedy rollouts on episodes whose goal stacks exactly ``n_tasks`` bits.
+
+    ``stacking=True`` draws 1..number_of_tasks tasks per reset
+    (craftingworld_ray.py:169-176); this keeps resetting until a reset with
+    exactly ``n_tasks`` desired bits comes up, then rolls the policy — the
+    compositional-execution measurement of examples/compositional_tasks.py.
+    """
+    env = CraftingWorldEnvRay(seed=seed, stacking=True, **env_kwargs)
+    apply = jax.jit(lambda p, f: model.apply(p, f)[0])
+    successes, tries, resets = 0, 0, 0
+    while tries < num_episodes and resets < 50 * num_episodes:
+        env.reset()
+        resets += 1
+        if int(np.asarray(env.desired_goal_vector).sum()) != n_tasks:
+            continue
+        tries += 1
+        reward = -1
+        for _ in range(env.MAX_STEPS):
+            a = int(jnp.argmax(apply(params, obs_features(env.state))[0]))
+            _, reward, done, _ = env.step(a)
+            if done:
+                break
+        successes += reward == env.MAX_STEPS
+    return {"success_rate": successes / max(tries, 1), "episodes": tries}

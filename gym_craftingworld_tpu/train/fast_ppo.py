@@ -5,7 +5,8 @@ fresh reset (including goal imagination) for *every* env *every* step of the
 rollout scan; it tops out near ~10^5 env-steps/s. This trainer redesigns the
 loop around what the TPU is fast at:
 
-* **Engine**: rollouts step ``ops/packed_rollout._step_p`` — the packed int16
+* **Engine**: rollouts step ``ops/packed_rollout._step_p_unrolled`` — the
+  slot-unrolled packed int16
   slot engine behind the headline benchmark — inside the collect scan. Policy
   inference runs in the same transposed layout: features are built as
   ``[F, B]`` (features on sublanes, batch on lanes) and every matmul is
@@ -51,7 +52,10 @@ import optax
 from gym_craftingworld_tpu import constants as C
 from gym_craftingworld_tpu.config import EnvConfig
 from gym_craftingworld_tpu.core.reset import sample_desired
-from gym_craftingworld_tpu.ops.packed_rollout import PackedState, _step_p
+from gym_craftingworld_tpu.ops.packed_rollout import (
+    PackedState,
+    _step_p_unrolled,
+)
 
 i16 = jnp.int16
 bf16 = jnp.bfloat16
@@ -288,7 +292,7 @@ def _collect(cfg: EnvConfig, fppo: FastPPOConfig, params: MLPParams,
         feat = features(cfg, st)
         logits, value = apply_policy(params, feat)
         action, log_prob = _sample_action(k_act, logits)
-        st2, res = _step_p(cfg, st, action.astype(i16))
+        st2, res = _step_p_unrolled(cfg, st, action.astype(i16))
         reward = jnp.where(
             res.reward == cfg.max_steps, 1.0, -1.0 / cfg.max_steps
         ).astype(jnp.float32)
