@@ -450,6 +450,111 @@ class CraftingWorldEnvRay:
         agent = int(row[C.N_OBJECTS])
         return object_at_location, agent, holding
 
+    # -- reference diagnostic methods ---------------------------------------
+    # The reference exposes these as public methods on the env instance; they
+    # are thin delegates to the functional core so reference-notebook code
+    # runs unmodified against this shim.
+
+    def sample_state(self):
+        """Sample a one-of-each-object observation + agent position.
+
+        Mirrors ``sample_state`` (craftingworld_ray.py:599-628): returns
+        ``(state (H, W, 12) int one-hot, agent_position Coord)``. In parity
+        mode the placement consumes the reference's RandomState shuffle, so
+        successive calls match a reference env under the same seed draw for
+        draw; fast mode draws from the jax key (same distribution — see
+        core/reset.sample_world).
+        """
+        from gym_craftingworld_tpu.core.state import onehot_from_packed
+        from gym_craftingworld_tpu.utils.coordinates import Coord
+
+        if self.rng_mode == "parity":
+            objects, agent = self._parity._sample_world()
+        else:
+            from gym_craftingworld_tpu.core.reset import sample_world
+
+            self._key, sub = jax.random.split(self._key)
+            obj, agent, _ = sample_world(self.cfg, sub)
+            objects, agent = np.asarray(obj), np.asarray(agent)
+        state = onehot_from_packed(np.asarray(objects), agent, C.HOLD_NONE)
+        agent_position = Coord(
+            int(agent[0]), int(agent[1]), self.STATE_W - 1, self.STATE_H - 1
+        )
+        return state, agent_position
+
+    def generate_fixed_states(self, num_states: int = 1) -> list:
+        """N placement draws up front (craftingworld_ray.py:149-154)."""
+        return [self.sample_state()[0] for _ in range(num_states)]
+
+    def eval_task_edit(self, old_contents_new_loc):
+        """Re-evaluate the achieved-goal vector from the agent's cell only.
+
+        Mirrors ``eval_task_edit`` (craftingworld_ray.py:646-703):
+        ``old_contents_new_loc`` is the destination cell's 12-wide one-hot
+        row *after* the agent bit transferred but *before* object effects
+        (the :411 snapshot), or ``None``. Updates the live achieved vector
+        in place (the shim's state is functional, so the packed state is
+        replaced) exactly per the reference rules, including the
+        chopped-tree exemption for MoveSticks (:680-682).
+        """
+        if self.batch_size != 1:
+            raise ValueError("eval_task_edit is a single-env diagnostic")
+        achieved = np.asarray(self._state.achieved[0]).copy()
+        cell = self.obs_one_hot[self.agent_pos]
+        new_objects = np.nonzero(cell)[0]
+        old_object = (
+            int(np.nonzero(np.asarray(old_contents_new_loc))[0][0])
+            if old_contents_new_loc is not None
+            else 100
+        )
+        if old_object == 5:
+            achieved[C.T_EAT_BREAD] = 1
+        elif old_object == 3:
+            achieved[C.T_CHOP_ROCK] = 1
+        elif old_object == 4:
+            achieved[C.T_CHOP_TREE] = 1
+        achieved[C.T_GO_TO_HOUSE] = 1 if new_objects[0] == 6 else 0
+        init_cell = np.nonzero(self.INIT_OBS_VECTOR[self.agent_pos])[0]
+        if new_objects[-1] == 8:
+            pass  # not holding anything
+        elif new_objects[-1] == 9:  # holding sticks
+            if len(init_cell) == 0:
+                achieved[C.T_MOVE_STICKS] = 1
+            elif init_cell[0] == 0:
+                achieved[C.T_MOVE_STICKS] = 0
+            elif init_cell[0] == 4 and achieved[C.T_CHOP_TREE] == 1:
+                achieved[C.T_MOVE_STICKS] = 0
+            else:
+                achieved[C.T_MOVE_STICKS] = 1
+        elif new_objects[-1] == 10:  # holding axe
+            if old_object == 7:
+                achieved[C.T_MAKE_BREAD] = 1
+            if len(init_cell) == 0:
+                achieved[C.T_MOVE_AXE] = 1
+            else:
+                achieved[C.T_MOVE_AXE] = 0 if init_cell[0] == 1 else 1
+        else:  # holding hammer
+            if old_object == 0:
+                achieved[C.T_BUILD_HOUSE] = 1
+            if len(init_cell) == 0:
+                achieved[C.T_MOVE_HAMMER] = 1
+            else:
+                achieved[C.T_MOVE_HAMMER] = 0 if init_cell[0] == 2 else 1
+        self._state = self._state.replace(
+            achieved=jnp.asarray(achieved, jnp.int8)[None]
+        )
+
+    def short_circuit_check(self, a, b, n):
+        """Chunked early-exit array equality (craftingworld_ray.py:747-755)."""
+        a, b = np.asarray(a), np.asarray(b)
+        L = len(a) // n
+        j = 0
+        for i in range(n):
+            j = i * L
+            if not np.all(a[j : j + L] == b[j : j + L]):
+                return False
+        return bool(np.all(a[j + L :] == b[j + L :]))
+
     # -- gif recording -----------------------------------------------------
 
     def allow_gif_storage(self, store_gif=True):
