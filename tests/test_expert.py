@@ -14,7 +14,7 @@ from gym_craftingworld_tpu.api import CraftingWorldEnvRay
 @pytest.mark.parametrize("task", list(C.TASK_LIST))
 def test_expert_completes_single_task(task):
     successes = 0
-    trials = 5
+    trials = 25
     for seed in range(trials):
         env = CraftingWorldEnvRay(
             seed=seed * 13 + 7,

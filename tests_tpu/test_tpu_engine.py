@@ -90,3 +90,51 @@ def test_bench_checksum_deterministic_and_seed_divergent():
     _, c2 = pf.fused_rollout_packed_bench(cfg, sl, 8, T)
     assert int(c1) == int(c1b)
     assert int(c1) != int(c2), "different seeds produced identical checksums"
+
+
+def test_sharded_fused_on_chip_single_device_mesh():
+    """Compiled Mosaic + shard_map composition at production BLOCK.
+
+    The CPU suite exercises the sharded fused kernels only in interpret mode
+    with BLOCK monkeypatched to 128 (tests/test_sharded_engine.py); this runs
+    the same wrappers on silicon over a 1-device mesh at BLOCK=2048 and pins
+    them to the unsharded kernel bit for bit.
+    """
+    from gym_craftingworld_tpu.parallel import sharded_engine as se
+    from gym_craftingworld_tpu.parallel.mesh import make_env_mesh
+
+    assert pf.BLOCK == 2048
+    cfg = ray_config()
+    mesh = make_env_mesh(1)
+    B, T = 4096, 128  # two grid blocks through one shard
+
+    sl = sm.from_env_state(reset_from_seed(cfg, 4, B))
+    actions = jax.random.randint(jax.random.PRNGKey(6), (T, B), 0, 6, jnp.int32)
+    sl_ref, rew_ref, done_ref = pf.fused_rollout_packed(cfg, sl, actions, T)
+    sl_sh, rew_sh, done_sh = se.fused_rollout_packed_sharded(
+        cfg,
+        se.shard_slots(sm.from_env_state(reset_from_seed(cfg, 4, B)), mesh),
+        actions, T, mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(rew_sh), np.asarray(rew_ref))
+    np.testing.assert_array_equal(np.asarray(done_sh), np.asarray(done_ref))
+    for f in ["slot_type", "slot_stat", "agent", "achieved", "step_num"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sl_sh, f)), np.asarray(getattr(sl_ref, f)),
+            err_msg=f,
+        )
+
+    # bench kernel: the per-shard seed layout must reproduce the unsharded
+    # block-seed assignment (checksum + final state equality)
+    st_ref, acc_ref = pf.fused_rollout_packed_bench(
+        cfg, sm.from_env_state(reset_from_seed(cfg, 5, B)), 11, T)
+    st_sh, acc_sh = se.fused_rollout_packed_bench_sharded(
+        cfg,
+        se.shard_slots(sm.from_env_state(reset_from_seed(cfg, 5, B)), mesh),
+        11, T, mesh=mesh,
+    )
+    assert int(acc_sh) == int(acc_ref)
+    np.testing.assert_array_equal(np.asarray(st_sh.agent),
+                                  np.asarray(st_ref.agent))
+    np.testing.assert_array_equal(np.asarray(st_sh.achieved),
+                                  np.asarray(st_ref.achieved))
