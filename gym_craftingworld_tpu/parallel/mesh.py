@@ -76,25 +76,87 @@ def reset_sharded(cfg: EnvConfig, seed: int, batch_size: int, mesh: Mesh) -> Env
     return _core_reset(cfg, keys)
 
 
-def scaling_report(cfg: EnvConfig, batch_per_device: int, num_steps: int = 64):
-    """Measure env-steps/s at 1 device vs all devices (scaling efficiency)."""
+def _time_engine(run, iters: int = 3) -> float:
+    """Median wall time of ``run()`` (which must block) after one warmup."""
     import time
 
-    from gym_craftingworld_tpu.core.rollout import rollout_random
-
-    results = {}
-    for n in {1, jax.device_count()}:
-        mesh = make_env_mesh(n)
-        B = batch_per_device * n
-        state = reset_sharded(cfg, 0, B, mesh)
-        key = jax.random.PRNGKey(1)
-        state, out = rollout_random(cfg, state, key, num_steps)  # compile
-        jax.block_until_ready(out.reward)
+    run()
+    times = []
+    for _ in range(iters):
         t0 = time.time()
-        state, out = rollout_random(cfg, state, key, num_steps)
-        jax.block_until_ready(out.reward)
-        dt = time.time() - t0
-        results[n] = B * num_steps / dt
+        run()
+        times.append(time.time() - t0)
+    return float(np.median(times))
+
+
+def scaling_report(cfg: EnvConfig, batch_per_device: int, num_steps: int = 64,
+                   engines=("grid", "packed_scan"), iters: int = 3) -> dict:
+    """env-steps/s at 1 device vs all devices, per engine.
+
+    Engines: ``grid`` (core/rollout.rollout_random over EnvState),
+    ``packed_scan`` (the headline int16 packed scan via
+    parallel/sharded_engine.rollout_p_sharded), ``fused`` (the fused Pallas
+    bench kernel via fused_rollout_packed_bench_sharded — TPU only; batch
+    per device must be a multiple of ops.packed_fused.BLOCK).
+
+    Returns {engine: {"n1": rate, "nN": rate, "devices": N, "efficiency": e}}
+    where e = rate(N) / (N * rate(1)). Stepping is communication-free, so
+    e ≈ 1 up to compiler/runtime overheads — this report is the artifact
+    BASELINE.md's scaling row points at (tools/scaling_artifact.py).
+    """
+    import jax.numpy as jnp
+
+    from gym_craftingworld_tpu.core import slots as sm
+    from gym_craftingworld_tpu.core.rollout import rollout_random
+    from gym_craftingworld_tpu.parallel import sharded_engine as se
+
     n_max = jax.device_count()
-    results["efficiency"] = results[n_max] / (results[1] * n_max)
-    return results
+    report = {}
+    for engine in engines:
+        rates = {}
+        for n in sorted({1, n_max}):
+            mesh = make_env_mesh(n)
+            B = batch_per_device * n
+            if engine == "grid":
+                state = reset_sharded(cfg, 0, B, mesh)
+                key = jax.random.PRNGKey(1)
+
+                def run(state=state, key=key):
+                    # rollout_random donates its input: hand it a fresh copy
+                    # (device-side, negligible next to the rollout itself)
+                    st = jax.tree.map(jnp.copy, state)
+                    _, out = rollout_random(cfg, st, key, num_steps)
+                    jax.block_until_ready(out.reward)
+
+            elif engine == "packed_scan":
+                slots = sm.from_env_state(reset_sharded(cfg, 0, B, mesh))
+                actions = jax.random.randint(
+                    jax.random.PRNGKey(2), (num_steps, B), 0, 6, jnp.int32
+                )
+
+                def run(slots=slots, actions=actions, mesh=mesh):
+                    _, out = se.rollout_p_sharded(
+                        cfg, slots, actions, num_steps, mesh
+                    )
+                    jax.block_until_ready(out.reward)
+
+            elif engine == "fused":
+                slots = sm.from_env_state(reset_sharded(cfg, 0, B, mesh))
+                slots = se.shard_slots(slots, mesh)
+
+                def run(slots=slots, mesh=mesh):
+                    _, acc = se.fused_rollout_packed_bench_sharded(
+                        cfg, slots, 3, num_steps, mesh=mesh
+                    )
+                    jax.block_until_ready(acc)
+
+            else:
+                raise ValueError(f"unknown engine {engine!r}")
+            rates[n] = B * num_steps / _time_engine(run, iters)
+        report[engine] = {
+            "n1": rates[1],
+            f"n{n_max}": rates[n_max],
+            "devices": n_max,
+            "efficiency": rates[n_max] / (n_max * rates[1]),
+        }
+    return report

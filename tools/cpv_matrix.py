@@ -1,0 +1,183 @@
+"""CPV compositional-execution matrix: all 2-task pairs + triples.
+
+Trains ONE CPV policy (models/cpv.py) on *single-task* expert demonstrations
+of all 9 skills, with plan-space goal relabeling (train/bc.augment_stacked_goals)
+for every task pair — no stacked trajectory is ever collected — then measures
+zero-shot stacked execution on every unordered pair and a sample of triples.
+
+This is the claim CraftingWorld was built to test ("Plan Arithmetic:
+Compositional Plan Vectors", NeurIPS 2019 — reference README.md:8): composite
+task embeddings are sums of their parts, so a policy conditioned on the
+residual plan vector executes compositions it never saw.
+
+Writes docs/cpv_matrix.json; render with --markdown for docs/cpv.md tables.
+
+    JAX_PLATFORMS=cpu python tools/cpv_matrix.py
+"""
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+
+sys.path.insert(0, ".")
+
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from gym_craftingworld_tpu import constants as C  # noqa: E402
+from gym_craftingworld_tpu.models.cpv import init_cpv  # noqa: E402
+from gym_craftingworld_tpu.train import bc  # noqa: E402
+
+# expert execution order (agents/expert.py _TASK_ORDER): augment each pair in
+# the order the expert would execute it, so "first done, second pending"
+# relabels match reachable runtime states
+_ORDER = [
+    C.T_MAKE_BREAD, C.T_EAT_BREAD, C.T_CHOP_ROCK, C.T_CHOP_TREE,
+    C.T_MOVE_STICKS, C.T_BUILD_HOUSE, C.T_MOVE_AXE, C.T_MOVE_HAMMER,
+    C.T_GO_TO_HOUSE,
+]
+_RANK = {t: i for i, t in enumerate(_ORDER)}
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "cpv_matrix.json")
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def scan_bc_train(demos, key, model, params, epochs, batch, lr):
+    """bc.bc_train's objective as one fused scan per epoch (CPU-fast)."""
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    feats = jnp.asarray(demos.features)
+    actions = jnp.asarray(demos.actions, jnp.int32)
+    n = feats.shape[0]
+    steps = n // batch
+
+    @jax.jit
+    def epoch(params, opt_state, perm):
+        def mb(carry, i):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * batch, batch)
+            fb, ab = feats[idx], actions[idx]
+
+            def loss_fn(p):
+                logits, _ = model.apply(p, fb)
+                logp = jax.nn.log_softmax(logits)
+                return -jnp.take_along_axis(logp, ab[:, None], 1).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            mb, (params, opt_state), jnp.arange(steps)
+        )
+        return params, opt_state, losses.mean()
+
+    for ep in range(epochs):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = epoch(
+            params, opt_state, jax.random.permutation(k, n)
+        )
+        if (ep + 1) % 10 == 0:
+            log(f"  epoch {ep + 1}/{epochs}: loss {float(loss):.4f}")
+    return params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes-per-task", type=int, default=120)
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--pair-episodes", type=int, default=24)
+    ap.add_argument("--triples", type=int, default=6)
+    ap.add_argument("--triple-episodes", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    base = dict(size=(8, 8), max_steps=60, stacking=False)
+    names = list(C.TASK_LIST)
+
+    t0 = time.time()
+    singles = []
+    for k, task in enumerate(names):
+        d = bc.collect_demos(
+            args.episodes_per_task, seed=args.seed + 31 * k,
+            selected_tasks=[task], random_warmup=25, **base,
+        )
+        singles.append(d)
+        log(f"demos[{task}]: {d.num_episodes} eps, {len(d.actions)} rows")
+    demos = bc.concat_demos(*singles)
+
+    aug_parts = [demos]
+    for i, j in itertools.combinations(range(C.N_TASKS), 2):
+        first, second = (i, j) if _RANK[i] < _RANK[j] else (j, i)
+        aug_parts.append(bc.augment_stacked_goals(demos, 8, 8, first, second))
+    demos_aug = bc.concat_demos(*aug_parts)
+    log(f"dataset: {len(demos_aug.actions)} rows "
+        f"(singles {len(demos.actions)}) in {time.time() - t0:.0f}s")
+
+    model, params = init_cpv(jax.random.PRNGKey(args.seed + 1), 8, 8,
+                             hidden=256)
+    params = scan_bc_train(
+        demos_aug, jax.random.PRNGKey(args.seed + 2), model, params,
+        epochs=args.epochs, batch=512, lr=2e-3,
+    )
+    acc = bc.bc_accuracy(model, params, demos_aug)
+    log(f"train accuracy {acc:.4f}")
+
+    results = {"train_accuracy": float(acc),
+               "config": {"grid": "8x8", "episodes_per_task":
+                          args.episodes_per_task, "epochs": args.epochs,
+                          "pair_episodes": args.pair_episodes},
+               "singles": {}, "pairs": {}, "triples": {}}
+
+    for task in names:
+        out = bc.evaluate_bc(model, params, 16, seed=args.seed + 7,
+                             selected_tasks=[task], **base)
+        results["singles"][task] = out["success_rate"]
+        log(f"single {task}: {out['success_rate']:.2f}")
+
+    kw = {k: v for k, v in base.items() if k != "stacking"}
+    for i, j in itertools.combinations(range(C.N_TASKS), 2):
+        pair = (names[i], names[j])
+        out = bc.evaluate_bc_stacked(
+            model, params, args.pair_episodes, seed=args.seed + 11,
+            n_tasks=2, selected_tasks=list(pair), **kw,
+        )
+        results["pairs"]["+".join(pair)] = out["success_rate"]
+        log(f"pair {pair[0]}+{pair[1]}: {out['success_rate']:.2f} "
+            f"({out['episodes']} eps)")
+
+    rng = np.random.RandomState(args.seed + 13)
+    for _ in range(args.triples):
+        tri = sorted(rng.choice(C.N_TASKS, 3, replace=False).tolist())
+        tri_names = [names[t] for t in tri]
+        out = bc.evaluate_bc_stacked(
+            model, params, args.triple_episodes, seed=args.seed + 17,
+            n_tasks=3, selected_tasks=tri_names, **kw,
+        )
+        results["triples"]["+".join(tri_names)] = out["success_rate"]
+        log(f"triple {'+'.join(tri_names)}: {out['success_rate']:.2f}")
+
+    pair_rates = list(results["pairs"].values())
+    results["pair_mean"] = float(np.mean(pair_rates))
+    results["pair_min"] = float(np.min(pair_rates))
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2, sort_keys=True)
+    log(f"pair mean {results['pair_mean']:.3f} min {results['pair_min']:.3f} "
+        f"→ {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,14 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+# persistent XLA compilation cache (works through the axon relay)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from flax import serialization  # noqa: E402
 
 from gym_craftingworld_tpu.config import EnvConfig  # noqa: E402
@@ -99,9 +107,17 @@ def main():
         mf.write(json.dumps(rec) + "\n")
         mf.flush()
 
+    t0 = time.time()
+    jnp.zeros(()).block_until_ready()
+    log(f"device claim: {time.time() - t0:.0f}s ({jax.devices()})")
+    t0 = time.time()
     snaps = SnapDataset.load(args.demos)
-    log(f"demos: {snaps.num_episodes} episodes, {snaps.num_rows} rows")
+    log(f"demos loaded: {snaps.num_episodes} episodes, {snaps.num_rows} rows "
+        f"({time.time() - t0:.0f}s)")
+    t0 = time.time()
     data = pad_columns(snaps, args.capacity)
+    jax.block_until_ready(data)
+    log(f"device dataset ready ({time.time() - t0:.0f}s)")
     n_valid = snaps.num_rows
 
     key = jax.random.PRNGKey(args.seed)
