@@ -95,24 +95,63 @@ def scan_bc_train(demos, key, model, params, epochs, batch, lr):
     return params
 
 
+def greedy_eval(model, params, pool_seed, eval_seed, episodes, n_tasks,
+                selected_tasks, pool, stacking):
+    """Greedy rollouts on the *training world pool* but a fresh episode RNG.
+
+    The CPV measurement holds the worlds fixed (the paper-style fixed env
+    set; train/test novelty is the task *composition*): the env is built
+    with the training seed so ``fixed_init_state`` regenerates the same
+    pool, then reseeded so task draws and world order differ from training.
+    For stacked evals, keeps resetting until exactly ``n_tasks`` bits drawn.
+    """
+    from gym_craftingworld_tpu.api.gym_env import CraftingWorldEnvRay
+    from gym_craftingworld_tpu.models.actor_critic import obs_features
+
+    env = CraftingWorldEnvRay(
+        seed=pool_seed, size=(8, 8), max_steps=60, stacking=stacking,
+        fixed_init_state=pool, selected_tasks=selected_tasks,
+    )
+    env.seed(eval_seed)
+    apply = jax.jit(lambda p, f: model.apply(p, f)[0])
+    succ, tries, resets = 0, 0, 0
+    while tries < episodes and resets < 60 * episodes:
+        env.reset()
+        resets += 1
+        if int(np.asarray(env.desired_goal_vector).sum()) != n_tasks:
+            continue
+        tries += 1
+        reward = -1
+        for _ in range(env.MAX_STEPS):
+            a = int(jnp.argmax(apply(params, obs_features(env.state))[0]))
+            _, reward, done, _ = env.step(a)
+            if done:
+                break
+        succ += reward == env.MAX_STEPS
+    return succ / max(tries, 1), tries
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--episodes-per-task", type=int, default=120)
+    ap.add_argument("--episodes-per-task", type=int, default=150)
+    ap.add_argument("--pool", type=int, default=16,
+                    help="fixed_init_state world-pool size")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--pair-episodes", type=int, default=24)
     ap.add_argument("--triples", type=int, default=6)
     ap.add_argument("--triple-episodes", type=int, default=16)
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=5)
     args = ap.parse_args()
 
-    base = dict(size=(8, 8), max_steps=60, stacking=False)
+    base = dict(size=(8, 8), max_steps=60, stacking=False,
+                fixed_init_state=args.pool)
     names = list(C.TASK_LIST)
 
     t0 = time.time()
     singles = []
-    for k, task in enumerate(names):
+    for task in names:
         d = bc.collect_demos(
-            args.episodes_per_task, seed=args.seed + 31 * k,
+            args.episodes_per_task, seed=args.seed,
             selected_tasks=[task], random_warmup=25, **base,
         )
         singles.append(d)
@@ -139,36 +178,41 @@ def main():
     results = {"train_accuracy": float(acc),
                "config": {"grid": "8x8", "episodes_per_task":
                           args.episodes_per_task, "epochs": args.epochs,
-                          "pair_episodes": args.pair_episodes},
+                          "pair_episodes": args.pair_episodes,
+                          "world_pool": args.pool,
+                          "protocol": (
+                              "fixed world pool shared between training and "
+                              "evaluation (paper-style fixed env set); "
+                              "evaluation reseeds the episode RNG, so world "
+                              "order and task draws are fresh — the novelty "
+                              "measured is the task composition, which is "
+                              "never demonstrated"
+                          )},
                "singles": {}, "pairs": {}, "triples": {}}
 
     for task in names:
-        out = bc.evaluate_bc(model, params, 16, seed=args.seed + 7,
-                             selected_tasks=[task], **base)
-        results["singles"][task] = out["success_rate"]
-        log(f"single {task}: {out['success_rate']:.2f}")
+        sr, n = greedy_eval(model, params, args.seed, args.seed + 7001, 16,
+                            1, [task], args.pool, stacking=False)
+        results["singles"][task] = sr
+        log(f"single {task}: {sr:.2f}")
 
-    kw = {k: v for k, v in base.items() if k != "stacking"}
     for i, j in itertools.combinations(range(C.N_TASKS), 2):
         pair = (names[i], names[j])
-        out = bc.evaluate_bc_stacked(
-            model, params, args.pair_episodes, seed=args.seed + 11,
-            n_tasks=2, selected_tasks=list(pair), **kw,
-        )
-        results["pairs"]["+".join(pair)] = out["success_rate"]
-        log(f"pair {pair[0]}+{pair[1]}: {out['success_rate']:.2f} "
-            f"({out['episodes']} eps)")
+        sr, n = greedy_eval(model, params, args.seed, args.seed + 8001,
+                            args.pair_episodes, 2, list(pair), args.pool,
+                            stacking=True)
+        results["pairs"]["+".join(pair)] = sr
+        log(f"pair {pair[0]}+{pair[1]}: {sr:.2f} ({n} eps)")
 
     rng = np.random.RandomState(args.seed + 13)
     for _ in range(args.triples):
         tri = sorted(rng.choice(C.N_TASKS, 3, replace=False).tolist())
         tri_names = [names[t] for t in tri]
-        out = bc.evaluate_bc_stacked(
-            model, params, args.triple_episodes, seed=args.seed + 17,
-            n_tasks=3, selected_tasks=tri_names, **kw,
-        )
-        results["triples"]["+".join(tri_names)] = out["success_rate"]
-        log(f"triple {'+'.join(tri_names)}: {out['success_rate']:.2f}")
+        sr, n = greedy_eval(model, params, args.seed, args.seed + 9001,
+                            args.triple_episodes, 3, tri_names, args.pool,
+                            stacking=True)
+        results["triples"]["+".join(tri_names)] = sr
+        log(f"triple {'+'.join(tri_names)}: {sr:.2f} ({n} eps)")
 
     pair_rates = list(results["pairs"].values())
     results["pair_mean"] = float(np.mean(pair_rates))
