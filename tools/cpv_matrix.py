@@ -95,6 +95,152 @@ def scan_bc_train(demos, key, model, params, epochs, batch, lr):
     return params
 
 
+_EFFECT = {
+    C.T_MAKE_BREAD: (C.WHEAT, C.BREAD),
+    C.T_EAT_BREAD: (C.BREAD, C.EMPTY),
+    C.T_BUILD_HOUSE: (C.STICKS, C.HOUSE),
+    C.T_CHOP_TREE: (C.TREE, C.STICKS),
+    C.T_CHOP_ROCK: (C.ROCK, C.EMPTY),
+}
+_MOVE_ITEM = {C.T_MOVE_AXE: C.AXE, C.T_MOVE_HAMMER: C.HAMMER,
+              C.T_MOVE_STICKS: C.STICKS}
+
+
+def apply_predecessors(env, S, j, rng):
+    """Rewrite a freshly reset env into the post-S handoff state.
+
+    Each completed predecessor task's world effect (craftingworld_ray.py:
+    416-438) is applied to the live grid — NOT to INIT_OBS_VECTOR, which the
+    runtime Move* evaluation still compares against (:670-702) — and its
+    achieved/desired bits are set. The episode that follows executes exactly
+    ONE task (j), so no stacked trajectory is ever demonstrated; only the
+    *conditioning context* matches the mid-composition states a stacked run
+    visits (holding, consumed objects, latched bits).
+    """
+    import jax.numpy as jnp
+
+    st = env._state
+    objects = np.asarray(st.objects[0]).copy()
+    for i in S:
+        if i in _EFFECT:
+            src, dst = _EFFECT[i]
+            hits = np.argwhere(objects == src)
+            if not len(hits):
+                return False
+            objects[tuple(hits[rng.randint(len(hits))])] = dst
+        else:  # Move*: relocate the item to a random empty cell
+            item = _MOVE_ITEM[i]
+            hits = np.argwhere(objects == item)
+            empties = np.argwhere(objects == C.EMPTY)
+            if not len(hits) or not len(empties):
+                return False
+            objects[tuple(hits[rng.randint(len(hits))])] = C.EMPTY
+            objects[tuple(empties[rng.randint(len(empties))])] = item
+    desired = np.zeros(C.N_TASKS, np.int8)
+    achieved = np.zeros(C.N_TASKS, np.int8)
+    desired[list(S) + [j]] = 1
+    achieved[list(S)] = 1
+    # held-tool carryover: a completed tool task ends with the tool in hand
+    # (the success check fires the instant achieved == desired, mid-carry —
+    # craftingworld_ray.py:361-367), so the next task must first drop/return
+    # it. Model that handoff for the most recent predecessor.
+    _TOOL_OF = {C.T_MAKE_BREAD: C.AXE, C.T_CHOP_TREE: C.AXE,
+                C.T_CHOP_ROCK: C.HAMMER, C.T_BUILD_HOUSE: C.HAMMER,
+                **_MOVE_ITEM}
+    holding = 0
+    if S:
+        tool = _TOOL_OF.get(S[-1])
+        if tool is not None and rng.rand() < 0.7:
+            hits = np.argwhere(objects == tool)
+            if len(hits):
+                objects[tuple(hits[rng.randint(len(hits))])] = C.EMPTY
+                holding = tool  # object codes 1..3 == holding codes
+                # carrying over non-origin cells keeps the tool's Move* bit
+                # latched at 1 (recomputed per move, craftingworld_ray.py:
+                # 670-702) — the runtime handoff state carries it
+                move_bit = {C.STICKS: C.T_MOVE_STICKS, C.AXE: C.T_MOVE_AXE,
+                            C.HAMMER: C.T_MOVE_HAMMER}[tool]
+                achieved[move_bit] = 1
+    env._state = st.replace(
+        objects=jnp.asarray(objects)[None],
+        desired=jnp.asarray(desired)[None],
+        achieved=jnp.asarray(achieved)[None],
+        holding=jnp.asarray([holding], st.holding.dtype),
+    )
+    env._cached = {}
+    return True
+
+
+def collect_context_demos(episodes, seed, pool, rank):
+    """Handoff demonstrations: solve one task j from a world where 0-2
+    lower-rank predecessors are already complete. Returns (Demos, task[row])."""
+    from gym_craftingworld_tpu.agents.expert import ExpertPolicy
+    from gym_craftingworld_tpu.api.gym_env import CraftingWorldEnvRay
+    from gym_craftingworld_tpu.models.actor_critic import obs_features
+
+    env = CraftingWorldEnvRay(seed=seed, size=(8, 8), max_steps=60,
+                              stacking=False, fixed_init_state=pool)
+    rng = np.random.RandomState(seed + 555)
+    feats, acts, eps, tasks = [], [], [], []
+    kept = 0
+    attempts = 0
+    while kept < episodes and attempts < 8 * episodes:
+        attempts += 1
+        env.reset()
+        j = int(rng.randint(C.N_TASKS))
+        lower = [t for t in range(C.N_TASKS) if rank[t] < rank[j]]
+        k = int(rng.randint(0, min(2, len(lower)) + 1))
+        S = sorted(
+            (rng.choice(lower, k, replace=False).tolist() if k else []),
+            key=lambda t: rank[t],
+        )
+        if not apply_predecessors(env, S, j, rng):
+            continue
+        expert = ExpertPolicy(env)
+        ep_f, ep_a = [], []
+        reward = -1
+        for _ in range(env.MAX_STEPS):
+            a = expert.action()
+            if a is None:
+                a = C.ACTION_UP
+            ep_f.append(np.asarray(obs_features(env.state))[0])
+            ep_a.append(int(a))
+            _, reward, done, _ = env.step(int(a))
+            if done:
+                break
+        if reward != env.MAX_STEPS:
+            continue
+        feats.extend(ep_f)
+        acts.extend(ep_a)
+        eps.extend([kept] * len(ep_a))
+        tasks.extend([j] * len(ep_a))
+        kept += 1
+    return (
+        bc.Demos(np.stack(feats).astype(np.float32),
+                 np.asarray(acts, np.int32), np.asarray(eps, np.int32)),
+        np.asarray(tasks, np.int32),
+    )
+
+
+def augment_pending(demos, tasks, rank, seed, grid_dim):
+    """Per-row copy with 1-2 random *higher-rank* pending bits added to the
+    desired mask — the exact relabel for 'act on the current task while later
+    tasks are still pending' (latching semantics make behavior independent of
+    pending bits; Move-origin avoidance is conservative either way)."""
+    rng = np.random.RandomState(seed)
+    feats = demos.features.copy()
+    keep = np.zeros(len(tasks), bool)
+    for r, j in enumerate(tasks):
+        higher = [t for t in range(C.N_TASKS) if rank[t] > rank[j]]
+        if not higher:
+            continue
+        k = 1 + rng.randint(min(2, len(higher)))
+        P = rng.choice(higher, k, replace=False)
+        feats[r, grid_dim + P] = 1
+        keep[r] = True
+    return bc.Demos(feats[keep], demos.actions[keep], demos.episode[keep])
+
+
 def greedy_eval(model, params, pool_seed, eval_seed, episodes, n_tasks,
                 selected_tasks, pool, stacking):
     """Greedy rollouts on the *training world pool* but a fresh episode RNG.
@@ -148,23 +294,33 @@ def main():
     names = list(C.TASK_LIST)
 
     t0 = time.time()
-    singles = []
-    for task in names:
+    grid_dim = 8 * 8 * C.N_CHANNELS
+    singles, single_tasks = [], []
+    for k, task in enumerate(names):
         d = bc.collect_demos(
             args.episodes_per_task, seed=args.seed,
             selected_tasks=[task], random_warmup=25, **base,
         )
         singles.append(d)
+        single_tasks.append(np.full(len(d.actions), k, np.int32))
         log(f"demos[{task}]: {d.num_episodes} eps, {len(d.actions)} rows")
-    demos = bc.concat_demos(*singles)
+    demos_s = bc.concat_demos(*singles)
+    tasks_s = np.concatenate(single_tasks)
 
-    aug_parts = [demos]
-    for i, j in itertools.combinations(range(C.N_TASKS), 2):
-        first, second = (i, j) if _RANK[i] < _RANK[j] else (j, i)
-        aug_parts.append(bc.augment_stacked_goals(demos, 8, 8, first, second))
-    demos_aug = bc.concat_demos(*aug_parts)
+    n_ctx = args.episodes_per_task * C.N_TASKS
+    demos_c, tasks_c = collect_context_demos(n_ctx, args.seed, args.pool,
+                                             _RANK)
+    log(f"handoff demos: {demos_c.num_episodes} eps, "
+        f"{len(demos_c.actions)} rows")
+
+    demos_base = bc.concat_demos(demos_s, demos_c)
+    tasks_base = np.concatenate([tasks_s, tasks_c])
+    demos_p = augment_pending(demos_base, tasks_base, _RANK, args.seed + 99,
+                              grid_dim)
+    demos_aug = bc.concat_demos(demos_base, demos_p)
     log(f"dataset: {len(demos_aug.actions)} rows "
-        f"(singles {len(demos.actions)}) in {time.time() - t0:.0f}s")
+        f"(singles {len(demos_s.actions)}, handoff {len(demos_c.actions)}, "
+        f"pending-relabel {len(demos_p.actions)}) in {time.time() - t0:.0f}s")
 
     model, params = init_cpv(jax.random.PRNGKey(args.seed + 1), 8, 8,
                              hidden=256)
@@ -184,9 +340,12 @@ def main():
                               "fixed world pool shared between training and "
                               "evaluation (paper-style fixed env set); "
                               "evaluation reseeds the episode RNG, so world "
-                              "order and task draws are fresh — the novelty "
-                              "measured is the task composition, which is "
-                              "never demonstrated"
+                              "order and task draws are fresh. Training data "
+                              "= single-task demos + handoff demos (one task "
+                              "executed from a world whose predecessors are "
+                              "pre-completed) + pending-bit relabels; no "
+                              "trajectory ever completes more than one task "
+                              "— the composition itself is never demonstrated"
                           )},
                "singles": {}, "pairs": {}, "triples": {}}
 

@@ -96,6 +96,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init-params", default=None,
                     help="resume from a saved params msgpack")
+    ap.add_argument("--round-base", type=int, default=0,
+                    help="offset for DAgger round numbering/seeds on resume")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -114,6 +116,14 @@ def main():
     snaps = SnapDataset.load(args.demos)
     log(f"demos loaded: {snaps.num_episodes} episodes, {snaps.num_rows} rows "
         f"({time.time() - t0:.0f}s)")
+    import glob as _glob
+
+    prior = sorted(_glob.glob(os.path.join(args.out, "dagger*.npz")))
+    if prior:
+        extras = [SnapDataset.load(p) for p in prior]
+        snaps = SnapDataset.concat(snaps, *extras)
+        log(f"reloaded {len(prior)} prior DAgger round(s): "
+            f"+{sum(e.num_rows for e in extras)} rows → {snaps.num_rows}")
     t0 = time.time()
     data = pad_columns(snaps, args.capacity)
     jax.block_until_ready(data)
@@ -169,7 +179,7 @@ def main():
         t0 = time.time()
         cols, sr = dagger.collect_policy_states(
             CFG, model, ts.params, args.dagger_episodes,
-            seed=1000 + r, explore_eps=0.02,
+            seed=1000 + args.round_base + r, explore_eps=0.02,
             max_states=args.dagger_max_states,
         )
         log(f"dagger {r}: rollout success {sr:.3f}, "
@@ -180,6 +190,7 @@ def main():
         if n_valid + labeled.num_rows > args.capacity:
             labeled = SnapDataset(*[a[: args.capacity - n_valid]
                                     for a in labeled])
+        labeled.save(os.path.join(args.out, f"dagger{args.round_base + r}.npz"))
         n_valid = append_columns(data, labeled, n_valid)
         emit({"phase": "dagger_collect", "round": r, "rollout_success": sr,
               "rows": int(labeled.num_rows), "n_valid": int(n_valid)})
