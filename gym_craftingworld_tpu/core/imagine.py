@@ -42,8 +42,15 @@ def _random_cell(key: jax.Array, mask: jax.Array) -> jax.Array:
 
 
 def _cond_set(cond, flat, idx, val):
-    """flat.at[idx] <- val, only when ``cond``; fixed-shape either way."""
-    return jnp.where(cond, flat.at[idx].set(val), flat)
+    """flat[idx] <- val, only when ``cond``; fixed-shape either way.
+
+    A dense compare-select rather than ``flat.at[idx].set``: data-dependent
+    scatters inside large vmapped programs miscompile on XLA:TPU at big batch
+    sizes (see core/step.py), and the dense form is the same few hundred VPU
+    lanes either way.
+    """
+    hit = jnp.arange(flat.shape[0], dtype=jnp.int32) == idx
+    return jnp.where(cond & hit, val, flat)
 
 
 def imagine_goal(

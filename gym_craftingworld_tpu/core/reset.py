@@ -39,8 +39,11 @@ def sample_desired(cfg: EnvConfig, key: jax.Array) -> jax.Array:
         k = jnp.int32(1)
     perm = jax.random.permutation(k_perm, n_sel)
     sel = jnp.asarray(cfg.selected_task_indices, jnp.int32)[perm]
-    chosen = (jnp.arange(n_sel) < k).astype(jnp.int8)
-    return jnp.zeros((C.N_TASKS,), jnp.int8).at[sel].max(chosen)
+    chosen = jnp.arange(n_sel) < k
+    # Dense compare-select instead of a data-dependent scatter (core/step.py
+    # documents the XLA:TPU batched-scatter miscompile this family avoids).
+    hit = (sel[None, :] == jnp.arange(C.N_TASKS, dtype=jnp.int32)[:, None]) & chosen[None, :]
+    return jnp.any(hit, axis=1).astype(jnp.int8)
 
 
 def sample_world(cfg: EnvConfig, key: jax.Array):
@@ -51,11 +54,15 @@ def sample_world(cfg: EnvConfig, key: jax.Array):
     n = cfg.n_cells
     scores = jax.random.uniform(key, (n,))
     _, idx = jax.lax.top_k(scores, C.N_OBJECTS + 1)  # 9 distinct ordered cells
-    flat = jnp.zeros((n,), jnp.int8)
-    codes = jnp.arange(1, C.N_OBJECTS + 1, dtype=jnp.int8)  # sticks..wheat
-    flat = flat.at[idx[: C.N_OBJECTS]].set(codes)
+    cells = jnp.arange(n, dtype=jnp.int32)
+    codes = jnp.arange(1, C.N_OBJECTS + 1, dtype=jnp.int32)  # sticks..wheat
+    # Dense one-hot placement (scatter-free; see core/step.py on the why).
+    place = cells[None, :] == idx[: C.N_OBJECTS, None]  # [8, n]
+    flat = jnp.sum(codes[:, None] * place, axis=0).astype(jnp.int8)
     agent_idx = idx[C.N_OBJECTS]
-    init_flat = flat.at[agent_idx].set(C.AGENT_INIT_MARK)
+    init_flat = jnp.where(
+        cells == agent_idx, jnp.int8(C.AGENT_INIT_MARK), flat
+    )
     agent = jnp.stack(
         [agent_idx // cfg.width, agent_idx % cfg.width]
     ).astype(jnp.int32)
@@ -107,7 +114,10 @@ def _reset_one_from_pool(
     objects = pool_objects[i]
     agent = pool_agent[i]
     # Pool worlds come from sample_world: the agent's cell holds no object.
-    init_objects = objects.at[agent[0], agent[1]].set(C.AGENT_INIT_MARK)
+    at_agent = (
+        jnp.arange(cfg.height, dtype=jnp.int32)[:, None] == agent[0]
+    ) & (jnp.arange(cfg.width, dtype=jnp.int32)[None, :] == agent[1])
+    init_objects = jnp.where(at_agent, jnp.int8(C.AGENT_INIT_MARK), objects)
 
     agent_idx = agent[0] * cfg.width + agent[1]
     goal_flat, goal_agent_idx = imagine_goal(

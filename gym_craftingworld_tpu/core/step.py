@@ -53,7 +53,18 @@ def compute_reward(
 
 
 def _step_one(cfg: EnvConfig, state: EnvState, action: jax.Array):
-    """Single-env step on unbatched leaves; vmapped by :func:`step`."""
+    """Single-env step on unbatched leaves; vmapped by :func:`step`.
+
+    Deliberately free of data-dependent gathers/scatters: every grid read is
+    a one-hot masked reduction and every grid write a dense compare-select
+    over the H x W board. Besides being the natural TPU dataflow (the VPU
+    streams the whole 21x21 grid faster than it serves a scattered cell),
+    this sidesteps an XLA:TPU miscompile observed on v5e where the fused
+    per-env double scatter of the original formulation silently dropped the
+    object-effect write at batch >= ~1024 (full-batch vs split-batch stepping
+    diverged; CPU agreed with split). tests_tpu/test_batch_consistency.py
+    carries the regression.
+    """
     H, W = cfg.height, cfg.width
     objects, agent, holding = state.objects, state.agent, state.holding
     achieved = state.achieved
@@ -68,8 +79,14 @@ def _step_one(cfg: EnvConfig, state: EnvState, action: jax.Array):
     new_rc = jnp.clip(agent + delta, 0, limits)
     moved_pos = jnp.any(new_rc != agent)
 
-    obj_here = objects[agent[0], agent[1]].astype(jnp.int32)
-    obj_there = objects[new_rc[0], new_rc[1]].astype(jnp.int32)
+    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    at_here = (rows == agent[0]) & (cols == agent[1])  # bool[H, W]
+    at_there = (rows == new_rc[0]) & (cols == new_rc[1])
+
+    obj_i32 = objects.astype(jnp.int32)
+    obj_here = jnp.sum(obj_i32 * at_here)
+    obj_there = jnp.sum(obj_i32 * at_there)
 
     # Rock blocks unless holding hammer; tree blocks unless holding axe
     # (craftingworld_ray.py:401-405).
@@ -110,14 +127,11 @@ def _step_one(cfg: EnvConfig, state: EnvState, action: jax.Array):
         (obj_there == C.WHEAT) & (holding == C.HOLD_AXE), C.BREAD, eff
     )  # MakeBread
 
-    # -- write back the (at most two) touched cells --
-    objects = objects.at[agent[0], agent[1]].set(here_val)
-    # For pickup/drop new_rc == agent, so re-read the just-written value; for a
-    # successful move write the crafted object, else keep as is.
-    there_now = objects[new_rc[0], new_rc[1]]
-    objects = objects.at[new_rc[0], new_rc[1]].set(
-        jnp.where(move_ok, eff.astype(jnp.int8), there_now)
-    )
+    # -- write back the (at most two) touched cells, as dense selects --
+    # move_ok implies the two cells are distinct; for pickup/drop the second
+    # select is inert, so the agent-cell write always lands.
+    objects = jnp.where(at_here, here_val, objects)
+    objects = jnp.where(at_there & move_ok, eff.astype(jnp.int8), objects)
 
     new_agent = jnp.where(move_ok, new_rc, agent)
 
@@ -140,7 +154,8 @@ def _step_one(cfg: EnvConfig, state: EnvState, action: jax.Array):
     cell_final = jnp.where(move_ok, eff, obj_here)
     a_house = (cell_final == C.HOUSE).astype(jnp.int32)
 
-    icode = state.init_objects[new_agent[0], new_agent[1]].astype(jnp.int32)
+    at_new = jnp.where(move_ok, at_there, at_here)
+    icode = jnp.sum(state.init_objects.astype(jnp.int32) * at_new)
     init_empty = icode == C.EMPTY
     # MoveSticks: un-achieved on the sticks origin, and on a chopped tree's
     # origin (craftingworld_ray.py:674-684). Any other original content
