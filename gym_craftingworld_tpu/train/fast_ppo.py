@@ -321,6 +321,57 @@ def _gae(fppo: FastPPOConfig, traj: _Traj, last_value):
     return adv, adv + traj.value
 
 
+def _mm_bm(x, w):
+    """Batch-major bf16 matmul: x[N, K] contracted with w[H, K] -> f32[N, H].
+
+    The update phase runs batch-major while the collect runs feature-major:
+    with batch on lanes ([F, B]) the *forward* fills the MXU, but every
+    weight gradient then contracts over the minor lane axis, which XLA
+    lowers through full activation transposes — measured 71 ms of a 84 ms
+    update at 16k envs, ~13% MXU efficiency on the backward. Batch-major
+    activations give the standard wgrad lowering (contraction over the
+    major axis) at identical math.
+    """
+    return jax.lax.dot_general(
+        x.astype(bf16), w.astype(bf16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def apply_policy_bm(p: MLPParams, feat: jax.Array):
+    """feat [N, F] → (logits f32[6, N], value f32[N]); same math as
+    :func:`apply_policy`.
+
+    Hybrid layout: the trunk is batch-major (efficient weight gradients),
+    stored bf16 (every consumer casts to bf16 anyway, so only the residuals'
+    storage precision changes — and halving that traffic matters: the update
+    is HBM-bound, not MXU-bound). The heads come out feature-major [6, N] /
+    [1, N] so the loss's elementwise chains run on full 128-lane tiles — a
+    [N, 6] f32 layout puts the 6 actions on lanes and wastes 122 of 128.
+    """
+    # Cast the *pre-activation* to bf16: the f32 matmul accumulator then
+    # lives only inside the fusion, so the stored residual and every big
+    # backward cotangent are bf16 — per-op profiling showed the f32
+    # [131072, 512] residuals re-streaming ~45 GB/update through HBM at 84%
+    # bandwidth utilization, 3x the update's entire useful traffic.
+    h = jax.nn.relu((_mm_bm(feat, p.w1) + p.b1[None, :]).astype(bf16))
+    h = jax.nn.relu((_mm_bm(h, p.w2) + p.b2[None, :]).astype(bf16))
+    # [6, H] x [N, H] -> [6, N]: contraction over H, no transpose of h
+    logits = jax.lax.dot_general(
+        p.wl.astype(bf16), h, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + p.bl[:, None]
+    value = (
+        jax.lax.dot_general(
+            p.wv.astype(bf16), h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + p.bv[:, None]
+    )[0]
+    return logits, value
+
+
 def _loss(fppo: FastPPOConfig, params: MLPParams, batch):
     feat, action, old_log_prob, old_value, adv, ret = batch
     logits, value = apply_policy(params, feat)  # feat [F, M]
@@ -344,33 +395,43 @@ def _loss(fppo: FastPPOConfig, params: MLPParams, batch):
     return loss, {"pg_loss": pg, "v_loss": v_loss, "entropy": entropy}
 
 
-@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
-def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
-                    env: PackedState, key):
-    """One PPO iteration on the packed engine. Returns (ts, env, key, metrics)."""
-    key, k_pool, k_roll, k_perm = jax.random.split(key, 4)
-    B_env = env.agent_r.shape[-1]
-    pool = fresh_packed_batch(cfg, k_pool, 2 * B_env)
-    env, traj = _collect(cfg, fppo, ts.params, env, pool, k_roll)
-    _, last_value = apply_policy(ts.params, features(cfg, env))
-    adv, ret = _gae(fppo, traj, last_value)
+def _loss_bm(fppo: FastPPOConfig, params: MLPParams, batch):
+    """Batch-major-trunk clipped-surrogate loss; same math as :func:`_loss`."""
+    feat, action, old_log_prob, old_value, adv, ret = batch  # feat [N, F]
+    logits, value = apply_policy_bm(params, feat)  # logits [6, N]
+    logsm = jax.nn.log_softmax(logits, axis=0)
+    onehot = (jnp.arange(logits.shape[0])[:, None] == action[None, :])
+    log_prob = jnp.sum(onehot * logsm, axis=0)
+    ratio = jnp.exp(log_prob - old_log_prob)
+    adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+    pg = -jnp.minimum(
+        ratio * adv_n,
+        jnp.clip(ratio, 1 - fppo.clip_eps, 1 + fppo.clip_eps) * adv_n,
+    ).mean()
+    v_clipped = old_value + jnp.clip(
+        value - old_value, -fppo.clip_eps, fppo.clip_eps
+    )
+    v_loss = 0.5 * jnp.maximum(
+        (value - ret) ** 2, (v_clipped - ret) ** 2
+    ).mean()
+    entropy = -(jnp.exp(logsm) * logsm).sum(0).mean()
+    loss = pg + fppo.vf_coef * v_loss - fppo.ent_coef * entropy
+    return loss, {"pg_loss": pg, "v_loss": v_loss, "entropy": entropy}
 
+
+def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
+                  adv, ret, k_perm):
+    """GAE-to-optimizer tail of one PPO iteration (shared with the profiler).
+
+    Blocks are (timestep, 128-env span) tiles exactly as before — the
+    permutation semantics and minibatch membership are unchanged from the
+    feature-major formulation; only the activation layout flipped.
+    """
     T, B = traj.action.shape
     F = traj.feat.shape[1]
-    # Shuffle in blocks of 128 lanes, not per sample: a per-sample column
-    # permutation of the [F, T*B] feature matrix is a minor-axis gather the
-    # TPU serialises element-by-element (~180ms/update measured); permuting
-    # whole 128-wide lane tiles along a major axis moves the same bytes at
-    # HBM speed. Each block is one (timestep, 128-env span) — with envs iid
-    # and blocks drawn across all timesteps, minibatch mixing is preserved.
     BLK = 128
-    if (T * B) % (BLK * fppo.num_minibatches):
-        raise ValueError(
-            f"rollout_steps*batch ({T}*{B}) must be a multiple of "
-            f"{BLK}*num_minibatches for block-shuffled minibatching"
-        )
     NB = (T * B) // BLK
-    featb = jnp.moveaxis(traj.feat, 0, 1).reshape(F, NB, BLK)
+    featb = jnp.transpose(traj.feat, (0, 2, 1)).reshape(NB, BLK, F)
     blk = lambda x: x.reshape(NB, BLK)
     flat = (
         featb,
@@ -385,22 +446,22 @@ def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
     def epoch(carry, k_e):
         params, opt_state = carry
         perm = jax.random.permutation(k_e, NB)
-        shuf = (flat[0][:, perm],) + tuple(x[perm] for x in flat[1:])
+        shuf = tuple(x[perm] for x in flat)
         nbm = NB // fppo.num_minibatches
         mb = nbm * BLK
 
         def minibatch(carry, i):
             params, opt_state = carry
             feat_mb = jax.lax.dynamic_slice_in_dim(
-                shuf[0], i * nbm, nbm, axis=1
-            ).reshape(F, mb)
+                shuf[0], i * nbm, nbm
+            ).reshape(mb, F)
             rest = tuple(
                 jax.lax.dynamic_slice_in_dim(x, i * nbm, nbm).reshape(mb)
                 for x in shuf[1:]
             )
             batch = (feat_mb,) + rest
             (loss, aux), grads = jax.value_and_grad(
-                lambda p: _loss(fppo, p, batch), has_aux=True
+                lambda p: _loss_bm(fppo, p, batch), has_aux=True
             )(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -413,6 +474,35 @@ def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
     (params, opt_state), (losses, auxes) = jax.lax.scan(
         epoch, (ts.params, ts.opt_state),
         jax.random.split(k_perm, fppo.update_epochs),
+    )
+    return params, opt_state, losses, auxes
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
+                    env: PackedState, key):
+    """One PPO iteration on the packed engine. Returns (ts, env, key, metrics)."""
+    key, k_pool, k_roll, k_perm = jax.random.split(key, 4)
+    B_env = env.agent_r.shape[-1]
+    pool = fresh_packed_batch(cfg, k_pool, 2 * B_env)
+    env, traj = _collect(cfg, fppo, ts.params, env, pool, k_roll)
+    _, last_value = apply_policy(ts.params, features(cfg, env))
+    adv, ret = _gae(fppo, traj, last_value)
+
+    T, B = traj.action.shape
+    # Shuffle in blocks of 128 lanes, not per sample: a per-sample
+    # permutation of the T*B samples is a fine-grained gather the TPU
+    # serialises element-by-element (~180ms/update measured); permuting
+    # whole 128-wide tiles along the major axis moves the same bytes at
+    # HBM speed. Each block is one (timestep, 128-env span) — with envs iid
+    # and blocks drawn across all timesteps, minibatch mixing is preserved.
+    if (T * B) % (128 * fppo.num_minibatches):
+        raise ValueError(
+            f"rollout_steps*batch ({T}*{B}) must be a multiple of "
+            f"128*num_minibatches for block-shuffled minibatching"
+        )
+    params, opt_state, losses, auxes = _update_phase(
+        fppo, ts, traj, adv, ret, k_perm
     )
 
     successes = (traj.raw_reward == cfg.max_steps).sum()

@@ -111,51 +111,14 @@ def prof_gae(n, traj, last_value):
 
 @partial(jax.jit, static_argnums=(0,))
 def prof_update(n, ts, traj, last_value, key):
-    """The whole post-collect phase: GAE + shuffle + epochs, n times."""
+    """The whole post-collect phase: GAE + shuffle + epochs, n times
+    (the shared fast_ppo._update_phase, batch-major activations)."""
 
     def body(carry, k):
         ts, acc = carry
         adv, ret = fp._gae(fppo, traj, last_value)
-        T, Bb = traj.action.shape
-        F = traj.feat.shape[1]
-        BLK = 128
-        NB = (T * Bb) // BLK
-        featb = jnp.moveaxis(traj.feat, 0, 1).reshape(F, NB, BLK)
-        blk = lambda x: x.reshape(NB, BLK)
-        flat = (featb, blk(traj.action), blk(traj.log_prob),
-                blk(traj.value), blk(adv), blk(ret))
-        optimizer = fp.make_optimizer(fppo)
-
-        def epoch(carry, k_e):
-            params, opt_state = carry
-            perm = jax.random.permutation(k_e, NB)
-            shuf = (flat[0][:, perm],) + tuple(x[perm] for x in flat[1:])
-            nbm = NB // fppo.num_minibatches
-            mb = nbm * BLK
-
-            def minibatch(carry, i):
-                params, opt_state = carry
-                feat_mb = jax.lax.dynamic_slice_in_dim(
-                    shuf[0], i * nbm, nbm, axis=1
-                ).reshape(F, mb)
-                rest = tuple(
-                    jax.lax.dynamic_slice_in_dim(x, i * nbm, nbm).reshape(mb)
-                    for x in shuf[1:]
-                )
-                (loss, _), grads = jax.value_and_grad(
-                    lambda p: fp._loss(fppo, p, (feat_mb,) + rest),
-                    has_aux=True,
-                )(params)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = jax.tree.map(lambda a, b: a + b, params, updates)
-                return (params, opt_state), loss
-
-            return jax.lax.scan(minibatch, carry,
-                                jnp.arange(fppo.num_minibatches))
-
-        (params, opt_state), losses = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state),
-            jax.random.split(k, fppo.update_epochs),
+        params, opt_state, losses, _ = fp._update_phase(
+            fppo, ts, traj, adv, ret, k
         )
         return (fp.FastTrainState(params, opt_state, ts.update_idx),
                 acc + losses.sum()), None
