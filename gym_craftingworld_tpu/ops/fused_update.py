@@ -1,0 +1,235 @@
+"""Fused Pallas kernel for the fast-PPO minibatch gradient.
+
+The PPO update is the fast trainer's dominant cost, and per-op profiling
+(tools/fast_ppo_prof.py + xprof) shows why: under stock XLA every layer's
+activations and cotangents — [131072, 512] tensors — round-trip HBM between
+the forward, loss, and backward fusions, ~32 GB per update at ~80% bandwidth
+utilization while the MXU idles at ~35%. The arithmetic intensity of a
+hidden-512 MLP (~170 FLOP/byte at bf16) sits *below* the v5e ridge point, so
+no amount of fusion-local tuning makes the layer-by-layer schedule
+compute-bound.
+
+This kernel breaks the traffic floor structurally: one `pallas_call` computes
+the complete clipped-surrogate gradient — forward, PPO loss, backward, and
+weight-gradient accumulation — tile by tile over the minibatch rows, with
+every activation and cotangent resident in VMEM for its whole life. HBM
+traffic per minibatch drops from ~2 GB to ~25 MB (the feature rows, the five
+per-row vectors, and the parameter gradients), turning the update MXU-bound.
+
+Numerics mirror `train/fast_ppo._loss_bm` + `jax.value_and_grad` exactly in
+structure: bf16 matmul operands with f32 accumulation, bf16 pre-activation
+residuals, bf16 hidden cotangents, f32 weight gradients and loss terms. The
+only deviations are float-associativity (tile-local accumulation order) and
+tie-breaking of `min`/`max` on measure-zero sets; gradient parity vs autodiff
+is pinned by tests/test_fused_update.py (CPU, interpret mode) and
+tests_tpu/test_fused_update_tpu.py (compiled Mosaic).
+
+The reference has no trainer at all (SURVEY §2); this kernel serves the
+throughput path that trains policies on the reference's environment.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_craftingworld_tpu.train.fast_ppo import FastPPOConfig, MLPParams
+
+bf16 = jnp.bfloat16
+f32 = jnp.float32
+
+TILE = 1024  # rows per grid step; peak VMEM ~6 MB at hidden=512
+
+
+def _mm(a, b, dims):
+    """bf16 x bf16 -> f32 dot_general (MXU with f32 accumulation)."""
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=f32)
+
+
+def _kernel(fppo: FastPPOConfig, n_total: int, n_actions: int,
+            feat_ref, action_ref, old_lp_ref, old_v_ref, advn_ref, ret_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, wlv_ref, blv_ref,
+            gw1_ref, gb1_ref, gw2_ref, gb2_ref, gwlv_ref, gblv_ref,
+            pg_row_ref, v_row_ref, ent_row_ref):
+    """One [TILE, F] row-tile: fwd + loss + bwd + wgrad accumulation.
+
+    The value head rides as row ``A`` of the logits head (``wlv`` =
+    ``concat([wl, wv])``): Mosaic cannot lower a matmul with a
+    size-1 output dimension, and fusing the heads saves a matmul anyway.
+    """
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw1_ref[:] = jnp.zeros_like(gw1_ref)
+        gb1_ref[:] = jnp.zeros_like(gb1_ref)
+        gw2_ref[:] = jnp.zeros_like(gw2_ref)
+        gb2_ref[:] = jnp.zeros_like(gb2_ref)
+        gwlv_ref[:] = jnp.zeros_like(gwlv_ref)
+        gblv_ref[:] = jnp.zeros_like(gblv_ref)
+
+    A = n_actions
+    x = feat_ref[:]  # bf16[TILE, F]
+    w1 = w1_ref[:]  # bf16[H, F]
+    w2 = w2_ref[:]  # bf16[H, H]
+    wlv = wlv_ref[:]  # bf16[A+1, H]
+
+    # ---- forward (same rounding points as apply_policy_bm; relu runs in
+    # f32 before the bf16 cast — identical since rounding commutes with
+    # max(.,0) — because v5e Mosaic has no bf16 vector compare) ----
+    z1 = _mm(x, w1, (((1,), (1,)))) + b1_ref[:][None, :]  # f32[TILE, H]
+    h1 = jnp.maximum(z1, 0).astype(bf16)
+    z2 = _mm(h1, w2, (((1,), (1,)))) + b2_ref[:][None, :]
+    h2 = jnp.maximum(z2, 0).astype(bf16)
+    heads = _mm(h2, wlv, (((1,), (1,)))) + blv_ref[:][None, :]  # [TILE, A+1]
+    # Mosaic cannot lane-slice at offset A ("Offset change"), so the loss
+    # runs on the padded [TILE, A+1] array with column masks — the value
+    # column is excluded from the softmax by a large-negative fill (finite,
+    # so 0 * fill stays 0 rather than NaN).
+    cols = jax.lax.broadcasted_iota(jnp.int32, heads.shape, 1)
+    is_logit = cols < A
+    logits = jnp.where(is_logit, heads, f32(-1e30))
+    value = jnp.sum(jnp.where(cols == A, heads, 0.0), axis=1)
+
+    action = action_ref[:]  # i32[TILE]
+    old_lp = old_lp_ref[:]
+    old_v = old_v_ref[:]
+    advn = advn_ref[:]  # pre-normalized advantage
+    ret = ret_ref[:]
+
+    # ---- PPO clipped-surrogate loss (per-row terms) ----
+    m = jnp.max(logits, axis=1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+    logsm = logits - lse  # f32[TILE, A+1]; value column ~ -1e30
+    p = jnp.exp(logsm)  # value column exactly 0
+    onehot = cols == action[:, None]  # actions < A, so col A never selected
+    log_prob = jnp.sum(jnp.where(onehot, logsm, 0.0), axis=1)
+    ratio = jnp.exp(log_prob - old_lp)
+    clipped = jnp.clip(ratio, 1 - fppo.clip_eps, 1 + fppo.clip_eps)
+    un = ratio * advn
+    cl = clipped * advn
+    pg_i = -jnp.minimum(un, cl)
+    e = value - ret
+    vclip = old_v + jnp.clip(value - old_v, -fppo.clip_eps, fppo.clip_eps)
+    ec = vclip - ret
+    v_i = 0.5 * jnp.maximum(e * e, ec * ec)
+    ent_i = -jnp.sum(jnp.where(is_logit, p * logsm, 0.0), axis=1)
+
+    # ---- backward (mirrors autodiff of _loss_bm; 1/N from the means) ----
+    inv_n = f32(1.0 / n_total)
+    # policy-gradient: d pg_i / d log_prob = -advn * ratio on the unclipped
+    # branch (jnp.minimum takes the first argument on ties)
+    take_un = un <= cl
+    dlogp = jnp.where(take_un, -advn * ratio, 0.0) * inv_n
+    dent = -fppo.ent_coef * inv_n  # coefficient on d ent_i / d logits
+    dlogits = jnp.where(
+        is_logit,
+        dlogp[:, None] * (onehot.astype(f32) - p)
+        + dent * (-p * (logsm + ent_i[:, None])),
+        0.0,
+    )  # [TILE, A+1], value column zeroed
+    # value loss: d v_i / d value (maximum takes first argument on ties)
+    take_e = e * e >= ec * ec
+    in_band = jnp.abs(value - old_v) < fppo.clip_eps
+    dvalue = (
+        fppo.vf_coef * inv_n
+        * jnp.where(take_e, e, jnp.where(in_band, ec, 0.0))
+    )
+
+    dheads = jnp.where(cols == A, dvalue[:, None], dlogits)  # f32[TILE, A+1]
+    dheads_b = dheads.astype(bf16)
+    dh2 = _mm(dheads_b, wlv, (((1,), (0,)))).astype(bf16)  # cotangent bf16
+    dz2 = jnp.where(z2 > 0, dh2, 0).astype(bf16)  # f32 compare (see above)
+    dh1 = _mm(dz2, w2, (((1,), (0,)))).astype(bf16)
+    dz1 = jnp.where(z1 > 0, dh1, 0).astype(bf16)
+
+    # ---- accumulate parameter gradients (f32, contract over rows) ----
+    gw1_ref[:] += _mm(dz1, x, (((0,), (0,))))  # [H, F]
+    gb1_ref[:] += jnp.sum(dz1.astype(f32), axis=0)
+    gw2_ref[:] += _mm(dz2, h1, (((0,), (0,))))  # [H, H]
+    gb2_ref[:] += jnp.sum(dz2.astype(f32), axis=0)
+    gwlv_ref[:] += _mm(dheads_b, h2, (((0,), (0,))))  # [A+1, H]
+    gblv_ref[:] += jnp.sum(dheads, axis=0)
+    # per-row loss terms (summed outside; scalar stores don't lower well)
+    pg_row_ref[:] = pg_i
+    v_row_ref[:] = v_i
+    ent_row_ref[:] = ent_i
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def fused_minibatch_grads(fppo: FastPPOConfig, params: MLPParams, batch,
+                          interpret: bool = False):
+    """Gradient of `_loss_bm` over one minibatch, fused in one kernel pass.
+
+    ``batch`` = (feat bf16[N, F], action i32[N], old_log_prob f32[N],
+    old_value f32[N], adv f32[N] (unnormalized), ret f32[N]).
+    Returns ``(grads: MLPParams, aux: dict)`` with the same loss terms
+    train_step_fast reports.
+    """
+    feat, action, old_lp, old_v, adv, ret = batch
+    N, F = feat.shape
+    H = params.w1.shape[0]
+    A = params.wl.shape[0]
+    assert N % TILE == 0, (N, TILE)
+    adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+    grid = (N // TILE,)
+    row = lambda: pl.BlockSpec((TILE,), lambda i: (i,))
+    whole = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((H, F), f32),
+        jax.ShapeDtypeStruct((H,), f32),
+        jax.ShapeDtypeStruct((H, H), f32),
+        jax.ShapeDtypeStruct((H,), f32),
+        jax.ShapeDtypeStruct((A + 1, H), f32),
+        jax.ShapeDtypeStruct((A + 1,), f32),
+        jax.ShapeDtypeStruct((N,), f32),
+        jax.ShapeDtypeStruct((N,), f32),
+        jax.ShapeDtypeStruct((N,), f32),
+    ]
+    out_specs = [
+        whole(H, F), whole(H), whole(H, H), whole(H),
+        whole(A + 1, H), whole(A + 1), row(), row(), row(),
+    ]
+    in_specs = [
+        pl.BlockSpec((TILE, F), lambda i: (i, 0)),
+        row(), row(), row(), row(), row(),
+        whole(H, F), whole(H), whole(H, H), whole(H),
+        whole(A + 1, H), whole(A + 1),
+    ]
+    wlv = jnp.concatenate(
+        [params.wl.astype(bf16), params.wv.astype(bf16)], axis=0
+    )
+    blv = jnp.concatenate(
+        [params.bl.astype(f32), params.bv.astype(f32)], axis=0
+    )
+    outs = pl.pallas_call(
+        partial(_kernel, fppo, N, A),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        feat.astype(bf16), action.astype(jnp.int32), old_lp, old_v,
+        adv_n, ret,
+        params.w1.astype(bf16), params.b1.astype(f32),
+        params.w2.astype(bf16), params.b2.astype(f32),
+        wlv, blv,
+    )
+    gw1, gb1, gw2, gb2, gwlv, gblv, pg_row, v_row, ent_row = outs
+    grads = MLPParams(w1=gw1, b1=gb1, w2=gw2, b2=gb2,
+                      wl=gwlv[:A], bl=gblv[:A],
+                      wv=gwlv[A:], bv=gblv[A:])
+    pg = pg_row.mean()
+    v_loss = v_row.mean()
+    entropy = ent_row.mean()
+    loss = pg + fppo.vf_coef * v_loss - fppo.ent_coef * entropy
+    return grads, {"loss": loss, "pg_loss": pg, "v_loss": v_loss,
+                   "entropy": entropy}

@@ -254,6 +254,13 @@ class _Traj(NamedTuple):
     raw_reward: jax.Array  # int32[T, B] (reference-scale, for metrics)
 
 
+def _fu():
+    """Lazy import of ops.fused_update (it imports this module's types)."""
+    from gym_craftingworld_tpu.ops import fused_update
+
+    return fused_update
+
+
 def make_optimizer(fppo: FastPPOConfig):
     return optax.chain(
         optax.clip_by_global_norm(fppo.max_grad_norm),
@@ -420,17 +427,29 @@ def _loss_bm(fppo: FastPPOConfig, params: MLPParams, batch):
 
 
 def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
-                  adv, ret, k_perm):
+                  adv, ret, k_perm, use_fused_kernel: bool | None = None):
     """GAE-to-optimizer tail of one PPO iteration (shared with the profiler).
 
     Blocks are (timestep, 128-env span) tiles exactly as before — the
     permutation semantics and minibatch membership are unchanged from the
     feature-major formulation; only the activation layout flipped.
+
+    ``use_fused_kernel`` selects the fused Pallas gradient kernel
+    (ops/fused_update.py) over autodiff of :func:`_loss_bm`. Default: on
+    when running on TPU and the minibatch is tile-aligned. The kernel is the
+    same math (gradient parity pinned by tests/test_fused_update.py); it
+    exists because the autodiff schedule is HBM-bound (see the kernel's
+    docstring).
     """
     T, B = traj.action.shape
     F = traj.feat.shape[1]
     BLK = 128
     NB = (T * B) // BLK
+    mb_rows = (NB // fppo.num_minibatches) * BLK
+    if use_fused_kernel is None:
+        use_fused_kernel = (
+            jax.devices()[0].platform == "tpu" and mb_rows % _fu().TILE == 0
+        )
     featb = jnp.transpose(traj.feat, (0, 2, 1)).reshape(NB, BLK, F)
     blk = lambda x: x.reshape(NB, BLK)
     flat = (
@@ -460,9 +479,13 @@ def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
                 for x in shuf[1:]
             )
             batch = (feat_mb,) + rest
-            (loss, aux), grads = jax.value_and_grad(
-                lambda p: _loss_bm(fppo, p, batch), has_aux=True
-            )(params)
+            if use_fused_kernel:
+                grads, aux = _fu().fused_minibatch_grads(fppo, params, batch)
+                loss = aux.pop("loss")
+            else:
+                (loss, aux), grads = jax.value_and_grad(
+                    lambda p: _loss_bm(fppo, p, batch), has_aux=True
+                )(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, aux)

@@ -1,0 +1,86 @@
+"""Gradient parity of the fused PPO-update kernel vs autodiff.
+
+ops/fused_update.py hand-derives the backward pass of
+train/fast_ppo._loss_bm inside one Pallas kernel. These tests pin it against
+`jax.value_and_grad` of the reference implementation on random minibatches
+(interpret mode on the CPU suite; tests_tpu/ runs the compiled Mosaic
+version). Tolerances reflect bf16 operands with f32 accumulation under a
+different (tile-local) reduction order.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_craftingworld_tpu import flat_config
+from gym_craftingworld_tpu.ops import fused_update as fu
+from gym_craftingworld_tpu.train import fast_ppo as fp
+
+
+def _random_batch(key, n, F, realistic=True):
+    ks = jax.random.split(key, 6)
+    feat = (jax.random.uniform(ks[0], (n, F)) < 0.3).astype(jnp.bfloat16)
+    action = jax.random.randint(ks[1], (n,), 0, 6)
+    old_lp = -jnp.abs(jax.random.normal(ks[2], (n,))) - 0.5
+    old_v = jax.random.normal(ks[3], (n,))
+    adv = jax.random.normal(ks[4], (n,))
+    ret = old_v + 0.5 * jax.random.normal(ks[5], (n,))
+    return (feat, action, old_lp, old_v, adv, ret)
+
+
+def _autodiff(fppo, params, batch):
+    feat, action, old_lp, old_v, adv, ret = batch
+    adv_n_in = adv  # _loss_bm normalizes internally
+
+    def loss_fn(p):
+        return fp._loss_bm(fppo, p, batch)
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return loss, aux, grads
+
+
+def test_fused_grads_match_autodiff():
+    cfg = flat_config()
+    fppo = fp.FastPPOConfig(hidden=128)
+    params = fp.init_params(jax.random.PRNGKey(0), cfg, fppo)
+    F = fp.feature_rows(cfg)
+    n = 2 * fu.TILE
+    batch = _random_batch(jax.random.PRNGKey(1), n, F)
+
+    loss_ref, aux_ref, grads_ref = _autodiff(fppo, params, batch)
+    grads, aux = fu.fused_minibatch_grads(fppo, params, batch, interpret=True)
+
+    np.testing.assert_allclose(float(aux["loss"]), float(loss_ref),
+                               rtol=2e-3, atol=2e-4)
+    for k in ("pg_loss", "v_loss", "entropy"):
+        np.testing.assert_allclose(float(aux[k]), float(aux_ref[k]),
+                                   rtol=2e-3, atol=2e-4)
+    for name in grads._fields:
+        g = np.asarray(getattr(grads, name), np.float64)
+        r = np.asarray(getattr(grads_ref, name), np.float64)
+        scale = max(np.abs(r).max(), 1e-6)
+        err = np.abs(g - r).max() / scale
+        assert err < 3e-2, f"{name}: rel err {err:.4f}"
+        # direction must agree tightly where it matters for the optimizer
+        cos = (g * r).sum() / (np.linalg.norm(g) * np.linalg.norm(r) + 1e-12)
+        assert cos > 0.999, f"{name}: cosine {cos:.5f}"
+
+
+def test_fused_grads_in_train_shapes():
+    """The exact (hidden=512) production shapes at a reduced row count."""
+    from gym_craftingworld_tpu import ray_config
+
+    cfg = ray_config()
+    fppo = fp.FastPPOConfig()
+    params = fp.init_params(jax.random.PRNGKey(2), cfg, fppo)
+    F = fp.feature_rows(cfg)
+    batch = _random_batch(jax.random.PRNGKey(3), fu.TILE, F)
+    grads, aux = fu.fused_minibatch_grads(fppo, params, batch, interpret=True)
+    _, aux_ref, grads_ref = _autodiff(fppo, params, batch)
+    g = np.asarray(grads.w2, np.float64)
+    r = np.asarray(grads_ref.w2, np.float64)
+    cos = (g * r).sum() / (np.linalg.norm(g) * np.linalg.norm(r) + 1e-12)
+    assert cos > 0.999
+    assert np.isfinite(float(aux["loss"]))

@@ -118,11 +118,13 @@ def run_tpu():
         _, acc = se.fused_rollout_packed_bench_sharded(
             cfg, slots, 3, T, mesh=mesh
         )
-        jax.block_until_ready(acc)
+        # Host transfer, not block_until_ready: through the axon relay only a
+        # device->host read truly waits for the computation (CLAUDE.md).
+        return int(jnp.asarray(acc).sum())
 
     fused_rate = _delta_rate(run_fused, B, 131072)
 
-    T_scan = 8192
+    T_scan = 32768  # long T so fixed per-dispatch costs amortize (CLAUDE.md)
     slots2 = sm.from_env_state(reset_from_seed(cfg, 0, B))
 
     def run_scan(T):
@@ -130,7 +132,7 @@ def run_tpu():
             jax.random.PRNGKey(2), (T, B), 0, 6, jnp.int32
         )
         _, out = se.rollout_p_sharded(cfg, slots2, actions, T, mesh)
-        jax.block_until_ready(out.reward)
+        return int(out.reward.sum())  # host transfer = real sync (CLAUDE.md)
 
     scan_rate = _delta_rate(run_scan, B, T_scan)
 
