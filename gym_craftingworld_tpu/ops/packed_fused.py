@@ -168,29 +168,38 @@ def _rebuild(p: PackedState, outs):
     return p._replace(**new)
 
 
-def _block_size(B: int) -> int:
+def _block_size(B: int, block: int | None = None) -> int:
     # Compiled Mosaic additionally requires the row block (block // 128) to be
     # a multiple of 8 sublanes unless it spans the whole array (block == B);
     # interpret mode (tests) has no such constraint, so only the lane
     # divisibility is enforced here and Mosaic's own error covers the rest.
-    block = min(B, BLOCK)
+    block = min(B, block or BLOCK)
     if B % block or block % LANES:
         raise ValueError(
-            f"batch {B} must be a multiple of min(B, {BLOCK}) and of {LANES}")
+            f"batch {B} must be a multiple of min(B, {block}) and of {LANES}")
     return block
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+def _interp(interpret: bool):
+    """pallas_call interpret= argument for the TPU interpreter (tests/dryrun)."""
+    return pltpu.InterpretParams() if interpret else False
+
+
+@partial(jax.jit, static_argnums=(0, 3),
+         static_argnames=("interpret", "block"))
 def fused_rollout_packed_bench(cfg: EnvConfig, slots: SlotState, seed,
-                               num_steps: int):
+                               num_steps: int, *, interpret: bool = False,
+                               block: int | None = None):
     """T random steps fully in VMEM; returns (SlotState, int32 checksum).
 
     Action stream comes from the per-core TPU PRNG (seeded per block), so it
     is *uniform over the 6 actions* but not bit-identical to jax.random —
-    matching the contract of ops/fused_rollout_t.py.
+    matching the contract of ops/fused_rollout_t.py. ``interpret`` runs the
+    kernel under the TPU interpreter (off-silicon tests/dryruns); ``block``
+    overrides the VMEM batch-block size (default module BLOCK).
     """
     B = slots.agent.shape[0]
-    block = _block_size(B)
+    block = _block_size(B, block)
     ts = transpose_in(slots)
     p = pack(cfg, ts)
     init_rows = (ts.init_pos_r, ts.init_pos_c, ts.init_type,
@@ -212,6 +221,7 @@ def fused_rollout_packed_bench(cfg: EnvConfig, slots: SlotState, seed,
         out_shape=out_shape + [jax.ShapeDtypeStruct((B // LANES, LANES),
                                                     jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interp(interpret),
     )(jnp.asarray([seed], jnp.int32), *_folded_inputs(p))
     p_final = _rebuild(p, outs[:-1])
     state = transpose_out(unpack(cfg, p_final, ts.desired, init_rows),
@@ -219,8 +229,10 @@ def fused_rollout_packed_bench(cfg: EnvConfig, slots: SlotState, seed,
     return state, jnp.sum(outs[-1])
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def fused_action_stream(B: int, seed, num_steps: int):
+@partial(jax.jit, static_argnums=(0, 2),
+         static_argnames=("interpret", "block"))
+def fused_action_stream(B: int, seed, num_steps: int, *,
+                        interpret: bool = False, block: int | None = None):
     """The bench kernel's raw in-kernel PRNG action stream, as int32[T, B].
 
     Uses the *identical* per-block seeding (``seed + program_id``) and decode
@@ -229,7 +241,7 @@ def fused_action_stream(B: int, seed, num_steps: int):
     be validated on real hardware (tests_tpu/test_tpu_engine.py). The ~2^32%6
     modulo bias is ≈1e-9 per action — far below any test's resolution.
     """
-    block = _block_size(B)
+    block = _block_size(B, block)
     R = block // LANES
 
     def kernel(seed_ref, o_ref):
@@ -254,13 +266,16 @@ def fused_action_stream(B: int, seed, num_steps: int):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((num_steps, B // LANES, LANES), KDT)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interp(interpret),
     )(jnp.asarray([seed], jnp.int32))
     return _unfold(out[0])
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3),
+         static_argnames=("interpret", "block"))
 def fused_rollout_packed(cfg: EnvConfig, slots: SlotState, actions,
-                         num_steps: int):
+                         num_steps: int, *, interpret: bool = False,
+                         block: int | None = None):
     """Step given actions int[T, B]; returns (SlotState, rewards, dones).
 
     The whole [T, block] action slab is block-loaded into VMEM — use for
@@ -269,7 +284,7 @@ def fused_rollout_packed(cfg: EnvConfig, slots: SlotState, actions,
     del num_steps
     T = actions.shape[0]
     B = slots.agent.shape[0]
-    block = _block_size(B)
+    block = _block_size(B, block)
     ts = transpose_in(slots)
     p = pack(cfg, ts)
     init_rows = (ts.init_pos_r, ts.init_pos_c, ts.init_type,
@@ -288,6 +303,7 @@ def fused_rollout_packed(cfg: EnvConfig, slots: SlotState, actions,
         out_shape=out_shape + [sds((T, B // LANES, LANES), KDT),
                                sds((T, B // LANES, LANES), KDT)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interp(interpret),
     )(*_folded_inputs(p), _fold(actions.astype(KDT)))
     p_final = _rebuild(p, outs[:-2])
     rewards = _unfold(outs[-2])

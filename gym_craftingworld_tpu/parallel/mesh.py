@@ -73,7 +73,33 @@ def reset_sharded(cfg: EnvConfig, seed: int, batch_size: int, mesh: Mesh) -> Env
         )
     keys = jax.random.split(jax.random.PRNGKey(seed), batch_size)
     keys = jax.device_put(jax.random.key_data(keys), env_sharding(mesh))
-    return _core_reset(cfg, keys)
+    # out_shardings pinned explicitly: sharding propagation from inputs to
+    # outputs is a compiler *choice*, and newer XLA partitioners replicate
+    # small reset outputs — the env batch must stay distributed regardless.
+    reset_fn = jax.jit(partial(_core_reset, cfg),
+                       out_shardings=env_sharding(mesh))
+    return reset_fn(keys)
+
+
+def ppo_train_step_sharded(cfg: EnvConfig, ppo, mesh: Mesh):
+    """train/ppo.train_step with output shardings pinned to the mesh.
+
+    Input→output sharding propagation is a compiler *choice* — newer XLA
+    partitioners replicate small outputs, silently collapsing the distributed
+    env batch. This wrapper makes the layout a contract: env batch stays
+    ``P('env')``, train state / key / metrics replicated.
+
+    Returns ``step(ts, env_state, key) -> (ts, env_state, key, metrics)``
+    (``ts`` donated, same as the unsharded path).
+    """
+    from gym_craftingworld_tpu.train.ppo import train_step
+
+    es, rep = env_sharding(mesh), replicated(mesh)
+    return jax.jit(
+        partial(train_step, cfg, ppo),
+        donate_argnums=(0,),
+        out_shardings=(rep, es, rep, rep),
+    )
 
 
 def _time_engine(run, iters: int = 3) -> float:

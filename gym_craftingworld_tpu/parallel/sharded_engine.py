@@ -41,6 +41,57 @@ def shard_slots(slots: SlotState, mesh: Mesh) -> SlotState:
     return jax.tree.map(lambda x: jax.device_put(x, s), slots)
 
 
+def packed_lane_sharding(mesh: Mesh):
+    """Per-field shardings for a PackedState batch (batch on the LAST axis).
+
+    Slot arrays are [8, B] → ``P(None, 'env')``; per-env scalars [B] →
+    ``P('env')``.
+    """
+    from gym_craftingworld_tpu.ops.packed_fused import _SLOT_FIELDS
+    from gym_craftingworld_tpu.ops.packed_rollout import PackedState
+
+    return PackedState(**{
+        f: NamedSharding(
+            mesh, P(None, ENV_AXIS) if f in _SLOT_FIELDS else P(ENV_AXIS)
+        )
+        for f in PackedState._fields
+    })
+
+
+def shard_packed(env, mesh: Mesh):
+    """Lay a PackedState batch out over the mesh (lane-axis sharding)."""
+    return jax.tree.map(jax.device_put, env, packed_lane_sharding(mesh))
+
+
+def fast_train_step_sharded(cfg: EnvConfig, fppo, mesh: Mesh):
+    """train/fast_ppo.train_step_fast with output shardings pinned.
+
+    Same rationale as ``parallel.mesh.ppo_train_step_sharded``: the env
+    batch's lane-axis sharding must survive the step regardless of what the
+    partitioner would choose. Returns ``step(ts, env, key)``.
+    """
+    from gym_craftingworld_tpu.train.fast_ppo import train_step_fast
+
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        partial(train_step_fast, cfg, fppo),
+        donate_argnums=(0,),
+        out_shardings=(rep, packed_lane_sharding(mesh), rep, rep),
+    )
+
+
+def pixel_train_step_sharded(cfg: EnvConfig, pppo, mesh: Mesh):
+    """train/fast_pixel_ppo.train_step_pixel with output shardings pinned."""
+    from gym_craftingworld_tpu.train.fast_pixel_ppo import train_step_pixel
+
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        partial(train_step_pixel, cfg, pppo),
+        donate_argnums=(0,),
+        out_shardings=(rep, packed_lane_sharding(mesh), rep, rep),
+    )
+
+
 def rollout_p_sharded(cfg: EnvConfig, slots: SlotState, actions,
                       num_steps: int, mesh: Mesh):
     """Packed scan rollout over a sharded batch.
@@ -55,13 +106,17 @@ def rollout_p_sharded(cfg: EnvConfig, slots: SlotState, actions,
     return rollout_p(cfg, slots, actions, num_steps)
 
 
-@partial(jax.jit, static_argnums=(0, 3), static_argnames=("mesh",))
+@partial(jax.jit, static_argnums=(0, 3),
+         static_argnames=("mesh", "interpret", "block"))
 def fused_rollout_packed_sharded(cfg: EnvConfig, slots: SlotState, actions,
-                                 num_steps: int, *, mesh: Mesh):
+                                 num_steps: int, *, mesh: Mesh,
+                                 interpret: bool = False,
+                                 block: int | None = None):
     """shard_map the fused actions-kernel: each device runs its local blocks."""
 
     def local(slots_l, actions_l):
-        return pf.fused_rollout_packed(cfg, slots_l, actions_l, num_steps)
+        return pf.fused_rollout_packed(cfg, slots_l, actions_l, num_steps,
+                                       interpret=interpret, block=block)
 
     return jax.shard_map(
         local,
@@ -72,9 +127,12 @@ def fused_rollout_packed_sharded(cfg: EnvConfig, slots: SlotState, actions,
     )(slots, actions)
 
 
-@partial(jax.jit, static_argnums=(0, 3), static_argnames=("mesh",))
+@partial(jax.jit, static_argnums=(0, 3),
+         static_argnames=("mesh", "interpret", "block"))
 def fused_rollout_packed_bench_sharded(cfg: EnvConfig, slots: SlotState, seed,
-                                       num_steps: int, *, mesh: Mesh):
+                                       num_steps: int, *, mesh: Mesh,
+                                       interpret: bool = False,
+                                       block: int | None = None):
     """shard_map the fused bench kernel (in-kernel PRNG actions).
 
     Per-shard seeds reproduce the single-device block-seed layout, so the
@@ -83,12 +141,13 @@ def fused_rollout_packed_bench_sharded(cfg: EnvConfig, slots: SlotState, seed,
     """
     B = slots.agent.shape[0]
     local_B = B // mesh.size
-    nlb = local_B // pf._block_size(local_B)  # blocks per shard
+    nlb = local_B // pf._block_size(local_B, block)  # blocks per shard
 
     def local(slots_l, seed_arr):
         shard = jax.lax.axis_index(ENV_AXIS)
         st, acc = pf.fused_rollout_packed_bench(
-            cfg, slots_l, seed_arr[0] + shard * nlb, num_steps
+            cfg, slots_l, seed_arr[0] + shard * nlb, num_steps,
+            interpret=interpret, block=block,
         )
         return st, jax.lax.psum(acc, ENV_AXIS)
 

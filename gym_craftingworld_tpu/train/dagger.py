@@ -244,11 +244,27 @@ def _rollout_states(cfg: EnvConfig, model: GridPolicy, params, keys,
     return cols, live, reward == cfg.max_steps
 
 
+# achieved bits that latch forever once set (craftingworld_ray.py:657-665,
+# 686-697): MakeBread, EatBread, BuildHouse, ChopTree, ChopRock. An episode
+# holding an undesired latched bit can never reach exact-match success.
+_LATCH_MASK = (
+    (1 << C.T_MAKE_BREAD) | (1 << C.T_EAT_BREAD) | (1 << C.T_BUILD_HOUSE)
+    | (1 << C.T_CHOP_TREE) | (1 << C.T_CHOP_ROCK)
+)
+
+
 def collect_policy_states(cfg: EnvConfig, model: GridPolicy, params,
                           num_episodes: int, seed: int = 0,
                           explore_eps: float = 0.0,
-                          max_states: int | None = None):
+                          max_states: int | None = None,
+                          failures_only: bool = False):
     """Visited-state snapshot rows from on-policy rollouts (host arrays).
+
+    ``failures_only`` keeps only states from episodes that end unsuccessful,
+    and of those only *salvageable* states (no undesired latched achievement
+    yet) — the frames after a fatal latch cannot lead to exact-match success,
+    so expert labels there are noise. This is the targeted-DAgger collection
+    mode: all training mass lands on the failure distribution.
 
     Returns ``(cols dict of [N, ...] numpy arrays, success_rate)``.
     """
@@ -257,7 +273,15 @@ def collect_policy_states(cfg: EnvConfig, model: GridPolicy, params,
         cfg, model, params, jax.random.key_data(keys),
         jax.random.PRNGKey(seed ^ 0xDA66E4), float(explore_eps),
     )
-    live = np.asarray(live).reshape(-1)
+    live = np.asarray(live)
+    if failures_only:
+        failed = ~np.asarray(success)  # [B]
+        live = live & failed[None, :]
+        ach = np.asarray(cols["achieved"]).astype(np.int64)  # [T, B]
+        des = np.asarray(cols["desired"]).astype(np.int64)
+        salvageable = (ach & ~des & _LATCH_MASK) == 0
+        live = live & salvageable
+    live = live.reshape(-1)
     host = {k: np.asarray(v).reshape((-1,) + v.shape[2:])[live]
             for k, v in cols.items()}
     if max_states is not None and len(host["agent_key"]) > max_states:

@@ -58,7 +58,11 @@ def throughput(fppo) -> float:
     N = 12
 
     def run(n):
-        ts2, env2, key2, m = fp.train_many_fast(cfg, fppo, ts, env, n,
+        # train_many_fast donates ts (donate_argnums=(2,)): on TPU the call
+        # deletes its buffers, so each timing rep gets a fresh copy to keep
+        # identical starting params across reps.
+        ts_rep = jax.tree.map(lambda x: x.copy(), ts)
+        ts2, env2, key2, m = fp.train_many_fast(cfg, fppo, ts_rep, env, n,
                                                 jax.random.PRNGKey(7))
         return float(m["loss"][-1])  # host transfer = real sync
 
