@@ -37,9 +37,15 @@ from gym_craftingworld_tpu.core.state import EnvState
 class ParityReset:
     """Replays the reference reset pipeline draw-for-draw on the host."""
 
-    def __init__(self, cfg: EnvConfig, seed: int):
+    def __init__(self, cfg: EnvConfig, seed: int, scheme: str | None = None):
+        # the RandomState comes from the shared seeding module so both sides
+        # of a parity comparison use one scheme: "direct" (RandomState(seed))
+        # or "legacy_hash" (historical gym<=0.19 SHA-512 seed hashing);
+        # default follows CW_GYMSHIM_SEEDING.
+        from gym_craftingworld_tpu.parity.seeding import np_random as _np_random
+
         self.cfg = cfg
-        self.rs = np.random.RandomState(seed)
+        self.rs, _ = _np_random(seed, scheme=scheme)
         self.fixed_pool: list[tuple[np.ndarray, np.ndarray]] | None = None
 
     # -- draw (a)+(b): task sampling (craftingworld_ray.py:169-176) --------
