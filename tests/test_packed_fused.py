@@ -2,14 +2,11 @@
 matched action streams (kernel run in TPU-interpret mode on CPU)."""
 
 import importlib
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from gym_craftingworld_tpu import flat_config, ray_config, reset_from_seed
 from gym_craftingworld_tpu.core import slots as sm
@@ -18,13 +15,8 @@ from gym_craftingworld_tpu.ops import packed_rollout as pr
 pf = importlib.import_module("gym_craftingworld_tpu.ops.packed_fused")
 
 
-@pytest.fixture(autouse=True)
-def interpret_pallas(monkeypatch):
-    monkeypatch.setattr(
-        pl, "pallas_call", partial(pl.pallas_call, interpret=pltpu.InterpretParams())
-    )
-    monkeypatch.setattr(pf, "BLOCK", 128)
-    yield
+# kernels run via the interpret=/block= parameters (TPU interpreter on CPU)
+_KW = dict(interpret=True, block=128)
 
 
 @pytest.mark.parametrize("cfg,seed", [(ray_config(), 0), (flat_config(), 1)])
@@ -35,7 +27,7 @@ def test_packed_fused_actions_equals_packed_scan(cfg, seed):
 
     actions = jax.random.randint(jax.random.PRNGKey(9), (T, B), 0, 6, jnp.int32)
 
-    sl_fused, rewards_f, dones_f = pf.fused_rollout_packed(cfg, sl, actions, T)
+    sl_fused, rewards_f, dones_f = pf.fused_rollout_packed(cfg, sl, actions, T, **_KW)
     sl_scan, out_s = pr.rollout_p(cfg, sm.from_env_state(st), actions, T)
 
     np.testing.assert_array_equal(np.asarray(rewards_f), np.asarray(out_s.reward))
@@ -61,8 +53,8 @@ def test_packed_fused_bench_checksum_consistent():
     st = reset_from_seed(cfg, 0, B)
     sl = sm.from_env_state(st)
 
-    s1, c1 = pf.fused_rollout_packed_bench(cfg, sl, 7, T)
-    s2, c2 = pf.fused_rollout_packed_bench(cfg, sl, 7, T)
+    s1, c1 = pf.fused_rollout_packed_bench(cfg, sl, 7, T, **_KW)
+    s2, c2 = pf.fused_rollout_packed_bench(cfg, sl, 7, T, **_KW)
     assert int(c1) == int(c2)
     np.testing.assert_array_equal(np.asarray(s1.agent), np.asarray(s2.agent))
 

@@ -5,14 +5,10 @@ arrays, batch on the last axis) must be proven multi-chip correct, not just
 the grid PPO path."""
 
 import importlib
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from gym_craftingworld_tpu import ray_config, reset_from_seed
@@ -55,26 +51,21 @@ def test_rollout_p_sharded_bit_exact():
     assert len(sl_out.agent.sharding.device_set) == 8
 
 
-@pytest.fixture
-def interpret_pallas(monkeypatch):
-    monkeypatch.setattr(
-        pl, "pallas_call",
-        partial(pl.pallas_call, interpret=pltpu.InterpretParams()),
-    )
-    monkeypatch.setattr(pf, "BLOCK", 128)
-    yield
+# fused kernels run via the interpret=/block= parameters (TPU interpreter)
+_KW = dict(interpret=True, block=128)
 
 
-def test_fused_actions_sharded_matches_unsharded(interpret_pallas):
+def test_fused_actions_sharded_matches_unsharded():
     cfg = ray_config()
     B, T = 1024, 48  # 8 shards x 128 envs = one kernel block per shard
     mesh = make_env_mesh(8)
     actions = jax.random.randint(jax.random.PRNGKey(5), (T, B), 0, 6, jnp.int32)
 
     sl_ref, rew_ref, done_ref = pf.fused_rollout_packed(
-        cfg, _slots(cfg, 1, B), actions, T)
+        cfg, _slots(cfg, 1, B), actions, T, **_KW)
     sl_sh, rew_sh, done_sh = se.fused_rollout_packed_sharded(
-        cfg, se.shard_slots(_slots(cfg, 1, B), mesh), actions, T, mesh=mesh)
+        cfg, se.shard_slots(_slots(cfg, 1, B), mesh), actions, T, mesh=mesh,
+        **_KW)
 
     np.testing.assert_array_equal(np.asarray(rew_sh), np.asarray(rew_ref))
     np.testing.assert_array_equal(np.asarray(done_sh), np.asarray(done_ref))
@@ -85,7 +76,7 @@ def test_fused_actions_sharded_matches_unsharded(interpret_pallas):
         )
 
 
-def test_fused_bench_sharded_matches_unsharded(interpret_pallas):
+def test_fused_bench_sharded_matches_unsharded():
     """Same seed ⇒ same checksum and final state: the per-shard seed layout
     reproduces the single-device block-seed assignment exactly (one block per
     shard here, so shard i draws stream seed+i just like program_id i)."""
@@ -93,9 +84,10 @@ def test_fused_bench_sharded_matches_unsharded(interpret_pallas):
     B, T = 1024, 32
     mesh = make_env_mesh(8)
 
-    st_ref, acc_ref = pf.fused_rollout_packed_bench(cfg, _slots(cfg, 2, B), 9, T)
+    st_ref, acc_ref = pf.fused_rollout_packed_bench(cfg, _slots(cfg, 2, B), 9, T,
+                                              **_KW)
     st_sh, acc_sh = se.fused_rollout_packed_bench_sharded(
-        cfg, se.shard_slots(_slots(cfg, 2, B), mesh), 9, T, mesh=mesh)
+        cfg, se.shard_slots(_slots(cfg, 2, B), mesh), 9, T, mesh=mesh, **_KW)
 
     assert int(acc_sh) == int(acc_ref)
     np.testing.assert_array_equal(np.asarray(st_sh.agent),
