@@ -54,6 +54,7 @@ def _mm(a, b, dims):
 
 def _kernel(fppo: FastPPOConfig, n_total: int, n_actions: int,
             feat_ref, action_ref, old_lp_ref, old_v_ref, advn_ref, ret_ref,
+            valid_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, wlv_ref, blv_ref,
             gw1_ref, gb1_ref, gw2_ref, gb2_ref, gwlv_ref, gblv_ref,
             pg_row_ref, v_row_ref, ent_row_ref):
@@ -141,7 +142,11 @@ def _kernel(fppo: FastPPOConfig, n_total: int, n_actions: int,
         * jnp.where(take_e, e, jnp.where(in_band, ec, 0.0))
     )
 
-    dheads = jnp.where(cols == A, dvalue[:, None], dlogits)  # f32[TILE, A+1]
+    # rows past the true minibatch length (tile padding) contribute nothing:
+    # the validity mask zeroes their head cotangents (and with them every
+    # weight gradient) and their per-row loss terms
+    valid = valid_ref[:]  # f32[TILE], 1.0 real row / 0.0 pad
+    dheads = jnp.where(cols == A, dvalue[:, None], dlogits) * valid[:, None]
     dheads_b = dheads.astype(bf16)
     dh2 = _mm(dheads_b, wlv, (((1,), (0,)))).astype(bf16)  # cotangent bf16
     dz2 = jnp.where(z2 > 0, dh2, 0).astype(bf16)  # f32 compare (see above)
@@ -156,9 +161,9 @@ def _kernel(fppo: FastPPOConfig, n_total: int, n_actions: int,
     gwlv_ref[:] += _mm(dheads_b, h2, (((0,), (0,))))  # [A+1, H]
     gblv_ref[:] += jnp.sum(dheads, axis=0)
     # per-row loss terms (summed outside; scalar stores don't lower well)
-    pg_row_ref[:] = pg_i
-    v_row_ref[:] = v_i
-    ent_row_ref[:] = ent_i
+    pg_row_ref[:] = pg_i * valid
+    v_row_ref[:] = v_i * valid
+    ent_row_ref[:] = ent_i * valid
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -170,15 +175,29 @@ def fused_minibatch_grads(fppo: FastPPOConfig, params: MLPParams, batch,
     old_value f32[N], adv f32[N] (unnormalized), ret f32[N]).
     Returns ``(grads: MLPParams, aux: dict)`` with the same loss terms
     train_step_fast reports.
+
+    ``N`` need not be TILE-aligned: rows are zero-padded to the next tile and
+    excluded from every gradient and loss term by an in-kernel validity mask,
+    so arbitrary production minibatch shapes take the fused path (means stay
+    over the true N).
     """
     feat, action, old_lp, old_v, adv, ret = batch
     N, F = feat.shape
     H = params.w1.shape[0]
     A = params.wl.shape[0]
-    assert N % TILE == 0, (N, TILE)
     adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
 
-    grid = (N // TILE,)
+    Np = -(-N // TILE) * TILE  # pad rows to the tile size
+    valid = (jnp.arange(Np) < N).astype(f32)
+    if Np != N:
+        pad = [(0, Np - N)]
+        feat = jnp.pad(feat, pad + [(0, 0)])
+        action = jnp.pad(action, pad)
+        old_lp, old_v, adv_n, ret = (
+            jnp.pad(x, pad) for x in (old_lp, old_v, adv_n, ret)
+        )
+
+    grid = (Np // TILE,)
     row = lambda: pl.BlockSpec((TILE,), lambda i: (i,))
     whole = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
 
@@ -189,9 +208,9 @@ def fused_minibatch_grads(fppo: FastPPOConfig, params: MLPParams, batch,
         jax.ShapeDtypeStruct((H,), f32),
         jax.ShapeDtypeStruct((A + 1, H), f32),
         jax.ShapeDtypeStruct((A + 1,), f32),
-        jax.ShapeDtypeStruct((N,), f32),
-        jax.ShapeDtypeStruct((N,), f32),
-        jax.ShapeDtypeStruct((N,), f32),
+        jax.ShapeDtypeStruct((Np,), f32),
+        jax.ShapeDtypeStruct((Np,), f32),
+        jax.ShapeDtypeStruct((Np,), f32),
     ]
     out_specs = [
         whole(H, F), whole(H), whole(H, H), whole(H),
@@ -199,7 +218,7 @@ def fused_minibatch_grads(fppo: FastPPOConfig, params: MLPParams, batch,
     ]
     in_specs = [
         pl.BlockSpec((TILE, F), lambda i: (i, 0)),
-        row(), row(), row(), row(), row(),
+        row(), row(), row(), row(), row(), row(),
         whole(H, F), whole(H), whole(H, H), whole(H),
         whole(A + 1, H), whole(A + 1),
     ]
@@ -218,7 +237,7 @@ def fused_minibatch_grads(fppo: FastPPOConfig, params: MLPParams, batch,
         interpret=interpret,
     )(
         feat.astype(bf16), action.astype(jnp.int32), old_lp, old_v,
-        adv_n, ret,
+        adv_n, ret, valid,
         params.w1.astype(bf16), params.b1.astype(f32),
         params.w2.astype(bf16), params.b2.astype(f32),
         wlv, blv,
@@ -227,9 +246,9 @@ def fused_minibatch_grads(fppo: FastPPOConfig, params: MLPParams, batch,
     grads = MLPParams(w1=gw1, b1=gb1, w2=gw2, b2=gb2,
                       wl=gwlv[:A], bl=gblv[:A],
                       wv=gwlv[A:], bv=gblv[A:])
-    pg = pg_row.mean()
-    v_loss = v_row.mean()
-    entropy = ent_row.mean()
+    pg = pg_row.sum() / N  # pad rows contribute exact zeros
+    v_loss = v_row.sum() / N
+    entropy = ent_row.sum() / N
     loss = pg + fppo.vf_coef * v_loss - fppo.ent_coef * entropy
     return grads, {"loss": loss, "pg_loss": pg, "v_loss": v_loss,
                    "entropy": entropy}

@@ -436,7 +436,8 @@ def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
 
     ``use_fused_kernel`` selects the fused Pallas gradient kernel
     (ops/fused_update.py) over autodiff of :func:`_loss_bm`. Default: on
-    when running on TPU and the minibatch is tile-aligned. The kernel is the
+    whenever running on TPU — the kernel tile-pads internally, so every
+    production minibatch shape takes the fused path. The kernel is the
     same math (gradient parity pinned by tests/test_fused_update.py); it
     exists because the autodiff schedule is HBM-bound (see the kernel's
     docstring).
@@ -445,11 +446,8 @@ def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
     F = traj.feat.shape[1]
     BLK = 128
     NB = (T * B) // BLK
-    mb_rows = (NB // fppo.num_minibatches) * BLK
     if use_fused_kernel is None:
-        use_fused_kernel = (
-            jax.devices()[0].platform == "tpu" and mb_rows % _fu().TILE == 0
-        )
+        use_fused_kernel = jax.devices()[0].platform == "tpu"
     featb = jnp.transpose(traj.feat, (0, 2, 1)).reshape(NB, BLK, F)
     blk = lambda x: x.reshape(NB, BLK)
     flat = (

@@ -68,6 +68,33 @@ def test_fused_grads_match_autodiff():
         assert cos > 0.999, f"{name}: cosine {cos:.5f}"
 
 
+def test_fused_grads_unaligned_rows_match_autodiff():
+    """N not a multiple of TILE takes the auto-pad path: identical math.
+
+    The padded rows must contribute exact zeros — grads and losses equal the
+    aligned computation on the true rows.
+    """
+    cfg = flat_config()
+    fppo = fp.FastPPOConfig(hidden=128)
+    params = fp.init_params(jax.random.PRNGKey(4), cfg, fppo)
+    F = fp.feature_rows(cfg)
+    for n in (fu.TILE + 640, 700):  # pad-to-2-tiles and sub-tile cases
+        batch = _random_batch(jax.random.PRNGKey(5), n, F)
+        loss_ref, aux_ref, grads_ref = _autodiff(fppo, params, batch)
+        grads, aux = fu.fused_minibatch_grads(fppo, params, batch,
+                                              interpret=True)
+        np.testing.assert_allclose(float(aux["loss"]), float(loss_ref),
+                                   rtol=2e-3, atol=2e-4)
+        for name in grads._fields:
+            g = np.asarray(getattr(grads, name), np.float64)
+            r = np.asarray(getattr(grads_ref, name), np.float64)
+            scale = max(np.abs(r).max(), 1e-6)
+            assert np.abs(g - r).max() / scale < 3e-2, (n, name)
+            cos = (g * r).sum() / (
+                np.linalg.norm(g) * np.linalg.norm(r) + 1e-12)
+            assert cos > 0.999, (n, name, cos)
+
+
 def test_fused_grads_in_train_shapes():
     """The exact (hidden=512) production shapes at a reduced row count."""
     from gym_craftingworld_tpu import ray_config
