@@ -95,6 +95,51 @@ def test_fused_grads_unaligned_rows_match_autodiff():
             assert cos > 0.999, (n, name, cos)
 
 
+def test_fused_kernel_end_to_end_curve(monkeypatch):
+    """Small-scale version of tools/fused_update_e2e.py: training through
+    the kernel reaches the same policy as training through autodiff.
+
+    Same seeds, 24 updates on single-task 8x8; the two runs' success
+    trajectories must agree within the run-to-run noise band (they share all
+    RNG, so remaining differences are exactly kernel-vs-autodiff numerics).
+    """
+    _orig = fu.fused_minibatch_grads
+    monkeypatch.setattr(
+        fu, "fused_minibatch_grads",
+        lambda fppo, params, batch: _orig(fppo, params, batch, True),
+    )
+    cfg = dataclasses.replace(flat_config(), stacking=False)
+    fppo = fp.FastPPOConfig(rollout_steps=16, num_minibatches=2,
+                            update_epochs=1, hidden=64)
+    B, n_updates = 256, 24
+
+    def train(use_fused):
+        ts = fp.init_fast_train_state(jax.random.PRNGKey(10), cfg, fppo)
+        env = fp.fresh_packed_batch(cfg, jax.random.PRNGKey(11), B)
+        key = jax.random.PRNGKey(12)
+        curve = []
+        for _ in range(n_updates):
+            key, k_pool, k_roll, k_perm = jax.random.split(key, 4)
+            pool = fp.fresh_packed_batch(cfg, k_pool, 2 * B)
+            env, traj = fp._collect(cfg, fppo, ts.params, env, pool, k_roll)
+            _, last_value = fp.apply_policy(ts.params, fp.features(cfg, env))
+            adv, ret = fp._gae(fppo, traj, last_value)
+            params, opt_state, losses, _ = fp._update_phase(
+                fppo, ts, traj, adv, ret, k_perm, use_fused_kernel=use_fused)
+            ts = fp.FastTrainState(params, opt_state, ts.update_idx + 1)
+            curve.append(float(
+                (traj.raw_reward == cfg.max_steps).sum() / traj.action.size))
+        return np.asarray(curve), ts
+
+    curve_k, ts_k = train(True)
+    curve_a, ts_a = train(False)
+    # same-seed runs: curves must track closely; final tail within noise
+    tail_k, tail_a = curve_k[-8:].mean(), curve_a[-8:].mean()
+    band = max(0.25 * max(tail_k, tail_a, 1e-3), 0.01)
+    assert abs(tail_k - tail_a) <= band, (tail_k, tail_a)
+    assert np.isfinite(curve_k).all() and np.isfinite(curve_a).all()
+
+
 def test_fused_grads_in_train_shapes():
     """The exact (hidden=512) production shapes at a reduced row count."""
     from gym_craftingworld_tpu import ray_config
