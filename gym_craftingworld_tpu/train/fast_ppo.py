@@ -499,13 +499,26 @@ def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
     return params, opt_state, losses, auxes
 
 
+def _fresh_pool(cfg: EnvConfig, key, n: int) -> PackedState:
+    """Auto-reset pool: the fused in-VMEM generator on TPU (same world/task
+    distribution, in-kernel PRNG — ops/fused_reset.py), the jax.random path
+    elsewhere. The pool's only contract is iid reference-distribution worlds."""
+    if jax.devices()[0].platform == "tpu":
+        from gym_craftingworld_tpu.ops.fused_reset import BLOCK, fresh_packed_fused
+
+        if n % BLOCK == 0:
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+            return fresh_packed_fused(cfg, seed, n)
+    return fresh_packed_batch(cfg, key, n)
+
+
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
 def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
                     env: PackedState, key):
     """One PPO iteration on the packed engine. Returns (ts, env, key, metrics)."""
     key, k_pool, k_roll, k_perm = jax.random.split(key, 4)
     B_env = env.agent_r.shape[-1]
-    pool = fresh_packed_batch(cfg, k_pool, 2 * B_env)
+    pool = _fresh_pool(cfg, k_pool, 2 * B_env)
     env, traj = _collect(cfg, fppo, ts.params, env, pool, k_roll)
     _, last_value = apply_policy(ts.params, features(cfg, env))
     adv, ret = _gae(fppo, traj, last_value)

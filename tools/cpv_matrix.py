@@ -140,6 +140,15 @@ def apply_predecessors(env, S, j, rng):
     achieved = np.zeros(C.N_TASKS, np.int8)
     desired[list(S) + [j]] = 1
     achieved[list(S)] = 1
+    # real handoffs happen wherever the previous task finished, not at the
+    # reset draw — relocate the agent to a random empty cell half the time
+    # (limit-cycle failures cluster on mid-carry states near item origins,
+    # which reset-position handoffs never cover)
+    if rng.rand() < 0.5:
+        empties = np.argwhere(objects == C.EMPTY)
+        if len(empties):
+            r, c = empties[rng.randint(len(empties))]
+            st = st.replace(agent=jnp.asarray([[r, c]], st.agent.dtype))
     # held-tool carryover: a completed tool task ends with the tool in hand
     # (the success check fires the instant achieved == desired, mid-carry —
     # craftingworld_ray.py:361-367), so the next task must first drop/return
@@ -222,6 +231,70 @@ def collect_context_demos(episodes, seed, pool, rank):
     )
 
 
+def collect_policy_dagger(model, params, episodes, seed, pool, rank,
+                          explore_eps=0.05):
+    """On-policy DAgger over single-task handoff episodes (protocol-safe).
+
+    Episodes are sampled exactly like :func:`collect_context_demos` (pre-
+    completed predecessors, ONE pending task) but driven by the *current
+    policy*; every visited state is labeled by the scripted expert. No
+    trajectory completes more than one task, so the composition itself is
+    still never demonstrated — this closes the covariate-shift gap behind
+    the limit-cycle failures (tools/cpv_debug.py: the residual plan flickers
+    as non-latching bits toggle and the argmax policy orbits; expert labels
+    on the orbit states all point the same way out).
+    """
+    from gym_craftingworld_tpu.agents.expert import ExpertPolicy
+    from gym_craftingworld_tpu.api.gym_env import CraftingWorldEnvRay
+    from gym_craftingworld_tpu.models.actor_critic import obs_features
+
+    _LATCH = (C.T_MAKE_BREAD, C.T_EAT_BREAD, C.T_BUILD_HOUSE, C.T_CHOP_TREE,
+              C.T_CHOP_ROCK)
+    env = CraftingWorldEnvRay(seed=seed, size=(8, 8), max_steps=60,
+                              stacking=False, fixed_init_state=pool)
+    rng = np.random.RandomState(seed + 777)
+    apply = jax.jit(lambda p, f: model.apply(p, f)[0])
+    feats, acts, eps = [], [], []
+    kept = 0
+    attempts = 0
+    while kept < episodes and attempts < 8 * episodes:
+        attempts += 1
+        env.reset()
+        j = int(rng.randint(C.N_TASKS))
+        lower = [t for t in range(C.N_TASKS) if rank[t] < rank[j]]
+        k = int(rng.randint(0, min(2, len(lower)) + 1))
+        S = sorted(
+            (rng.choice(lower, k, replace=False).tolist() if k else []),
+            key=lambda t: rank[t],
+        )
+        if not apply_predecessors(env, S, j, rng):
+            continue
+        expert = ExpertPolicy(env)
+        n_rows = 0
+        for _ in range(env.MAX_STEPS):
+            des = np.asarray(env.desired_goal_vector).reshape(-1)
+            ach = np.asarray(env.achieved_goal_vector).reshape(-1)
+            if any(ach[b] and not des[b] for b in _LATCH):
+                break  # unsalvageable: expert labels past here are noise
+            label = expert.action()
+            if label is None:
+                label = C.ACTION_UP
+            feats.append(np.asarray(obs_features(env.state))[0])
+            acts.append(int(label))
+            n_rows += 1
+            if rng.rand() < explore_eps:
+                a = int(rng.randint(4))
+            else:
+                a = int(jnp.argmax(apply(params, obs_features(env.state))[0]))
+            _, reward, done, _ = env.step(a)
+            if done:
+                break
+        eps.extend([kept] * n_rows)
+        kept += 1
+    return bc.Demos(np.stack(feats).astype(np.float32),
+                    np.asarray(acts, np.int32), np.asarray(eps, np.int32))
+
+
 def augment_pending(demos, tasks, rank, seed, grid_dim):
     """Per-row copy with 1-2 random *higher-rank* pending bits added to the
     desired mask — the exact relabel for 'act on the current task while later
@@ -284,6 +357,8 @@ def main():
                     help="fixed_init_state world-pool size")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--pair-episodes", type=int, default=24)
+    ap.add_argument("--dagger-rounds", type=int, default=3)
+    ap.add_argument("--dagger-episodes", type=int, default=700)
     ap.add_argument("--triples", type=int, default=6)
     ap.add_argument("--triple-episodes", type=int, default=16)
     ap.add_argument("--seed", type=int, default=5)
@@ -328,6 +403,22 @@ def main():
         demos_aug, jax.random.PRNGKey(args.seed + 2), model, params,
         epochs=args.epochs, batch=512, lr=2e-3,
     )
+
+    # on-policy DAgger over single-task handoff episodes: close the
+    # covariate-shift gap (limit cycles on non-latching residuals) without
+    # ever demonstrating a composition
+    for r in range(args.dagger_rounds):
+        t0 = time.time()
+        d = collect_policy_dagger(model, params, args.dagger_episodes,
+                                  args.seed + 300 + r, args.pool, _RANK)
+        demos_aug = bc.concat_demos(demos_aug, d)
+        params = scan_bc_train(
+            demos_aug, jax.random.PRNGKey(args.seed + 500 + r), model,
+            params, epochs=max(args.epochs // 3, 8), batch=512, lr=1e-3,
+        )
+        log(f"dagger {r}: +{len(d.actions)} rows → {len(demos_aug.actions)} "
+            f"({time.time() - t0:.0f}s)")
+
     acc = bc.bc_accuracy(model, params, demos_aug)
     log(f"train accuracy {acc:.4f}")
 
@@ -336,6 +427,7 @@ def main():
                           args.episodes_per_task, "epochs": args.epochs,
                           "pair_episodes": args.pair_episodes,
                           "world_pool": args.pool,
+                          "dagger_rounds": args.dagger_rounds,
                           "protocol": (
                               "fixed world pool shared between training and "
                               "evaluation (paper-style fixed env set); "
@@ -343,9 +435,12 @@ def main():
                               "order and task draws are fresh. Training data "
                               "= single-task demos + handoff demos (one task "
                               "executed from a world whose predecessors are "
-                              "pre-completed) + pending-bit relabels; no "
-                              "trajectory ever completes more than one task "
-                              "— the composition itself is never demonstrated"
+                              "pre-completed, agent position randomized) + "
+                              "pending-bit relabels + on-policy DAgger over "
+                              "the same single-task handoff episodes (policy "
+                              "actions, expert labels); no trajectory ever "
+                              "completes more than one task — the "
+                              "composition itself is never demonstrated"
                           )},
                "singles": {}, "pairs": {}, "triples": {}}
 

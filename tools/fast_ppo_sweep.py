@@ -41,6 +41,8 @@ CANDIDATES = {
     "2ep_8mb (default)": dict(update_epochs=2, num_minibatches=8),
     "1ep_8mb": dict(update_epochs=1, num_minibatches=8),
     "1ep_4mb": dict(update_epochs=1, num_minibatches=4),
+    "1ep_8mb_h384": dict(update_epochs=1, num_minibatches=8, hidden=384),
+    "1ep_8mb_h256": dict(update_epochs=1, num_minibatches=8, hidden=256),
 }
 
 B_BENCH = 16384
