@@ -127,8 +127,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs/canonical")
     ap.add_argument("--demos", default="data/demos_canonical.npz")
-    ap.add_argument("--init-params",
-                    default="runs/canonical/params_final.msgpack")
+    ap.add_argument("--init-params", default=None,
+                    help="resume from a params msgpack; when absent a fresh "
+                         "model is BC-trained on the aggregate first")
+    ap.add_argument("--bc-steps", type=int, default=6000)
+    ap.add_argument("--bc-lr", type=float, default=1e-3)
     ap.add_argument("--capacity", type=int, default=6_000_000)
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=1024)
@@ -147,6 +150,9 @@ def main():
     ap.add_argument("--target", type=float, default=0.975,
                     help="stop early when round eval reaches this")
     ap.add_argument("--policy-json", default="docs/canonical_policy.json")
+    ap.add_argument("--tag", default="",
+                    help="suffix for round files/checkpoints (avoids "
+                         "clobbering when reusing an out dir)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -179,10 +185,35 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     model, params = init_grid_policy(k_init, CFG, args.channels, args.hidden)
-    with open(args.init_params, "rb") as f:
-        params = serialization.from_bytes(params, f.read())
-    log(f"resumed params from {args.init_params}")
-    ts = dagger.BCTrainState(params, dagger._make_tx(args.lr).init(params))
+    if args.init_params:
+        with open(args.init_params, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        log(f"resumed params from {args.init_params}")
+        ts = dagger.BCTrainState(params, dagger._make_tx(args.lr).init(params))
+    else:
+        ts = dagger.BCTrainState(params,
+                                 dagger._make_tx(args.bc_lr).init(params))
+        done = 0
+        while done < args.bc_steps:
+            steps = min(500, args.bc_steps - done)
+            key, k = jax.random.split(key)
+            ts, stats = mixed_train_chunk(
+                model, ts, data, n_valid, 0, steps, args.batch,
+                args.bc_lr, 0.0, k,
+            )
+            done += steps
+            log(f"bc {done}/{args.bc_steps}: loss {stats['loss']:.4f} "
+                f"acc {stats['accuracy']:.4f}")
+            emit({"phase": "bc", "steps": done, **stats})
+        t0 = time.time()
+        res = dagger.evaluate_grid_policy(CFG, model, ts.params,
+                                          args.eval_episodes, seed=4899)
+        log(f"bc eval: success {res['success_rate']:.4f} "
+            f"({time.time() - t0:.0f}s)")
+        emit({"phase": "eval", "round": -1, **res})
+        save_params_early = os.path.join(args.out, "params_bc_big.msgpack")
+        with open(save_params_early, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(ts.params)))
 
     def save_params(tag):
         path = os.path.join(args.out, f"params_{tag}.msgpack")
@@ -206,7 +237,7 @@ def main():
         if n_valid + labeled.num_rows > args.capacity:
             labeled = SnapDataset(*[a[: args.capacity - n_valid]
                                     for a in labeled])
-        labeled.save(os.path.join(args.out, f"targeted{r}.npz"))
+        labeled.save(os.path.join(args.out, f"targeted{args.tag}{r}.npz"))
         n_valid = append_columns(data, labeled, n_valid)
         emit({"phase": "collect", "round": r, "rollout_success": sr,
               "rows": int(labeled.num_rows), "n_valid": int(n_valid)})
@@ -230,9 +261,9 @@ def main():
         log(f"round {r} eval: success {res['success_rate']:.4f} "
             f"({time.time() - t0:.0f}s)")
         emit({"phase": "eval", "round": r, **res})
-        save_params(f"targeted{r}")
+        save_params(f"targeted{args.tag}{r}")
         if res["success_rate"] > best[0]:
-            best = (res["success_rate"], f"targeted{r}")
+            best = (res["success_rate"], f"targeted{args.tag}{r}")
         if res["success_rate"] >= args.target:
             log(f"round {r}: target {args.target} reached")
             break
@@ -252,7 +283,7 @@ def main():
         f"{args.final_eval_episodes} eps ({time.time() - t0:.0f}s)")
     emit({"phase": "final", **{k: v for k, v in artifact.items()
                                if not isinstance(v, dict)}})
-    save_params("targeted_final")
+    save_params(f"targeted{args.tag}_final")
     if artifact["success_rate"] >= 0.97:
         with open(args.policy_json, "w") as f:
             json.dump(artifact, f, indent=2, sort_keys=True)
