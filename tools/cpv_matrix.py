@@ -196,7 +196,7 @@ def collect_context_demos(episodes, seed, pool, rank):
     while kept < episodes and attempts < 8 * episodes:
         attempts += 1
         env.reset()
-        j = int(rng.randint(C.N_TASKS))
+        j = int(rng.choice(C.N_TASKS, p=w))
         lower = [t for t in range(C.N_TASKS) if rank[t] < rank[j]]
         k = int(rng.randint(0, min(2, len(lower)) + 1))
         S = sorted(
@@ -253,6 +253,13 @@ def collect_policy_dagger(model, params, episodes, seed, pool, rank,
     env = CraftingWorldEnvRay(seed=seed, size=(8, 8), max_steps=60,
                               stacking=False, fixed_init_state=pool)
     rng = np.random.RandomState(seed + 777)
+    # limit cycles concentrate on the non-latching / resource-conflict tasks
+    # (Move*, GoToHouse, BuildHouse) — weight the pending-task draw there
+    w = np.ones(C.N_TASKS)
+    for t in (C.T_BUILD_HOUSE, C.T_GO_TO_HOUSE, C.T_MOVE_AXE,
+              C.T_MOVE_HAMMER, C.T_MOVE_STICKS):
+        w[t] = 3.0
+    w /= w.sum()
     apply = jax.jit(lambda p, f: model.apply(p, f)[0])
     feats, acts, eps = [], [], []
     kept = 0
@@ -260,7 +267,7 @@ def collect_policy_dagger(model, params, episodes, seed, pool, rank,
     while kept < episodes and attempts < 8 * episodes:
         attempts += 1
         env.reset()
-        j = int(rng.randint(C.N_TASKS))
+        j = int(rng.choice(C.N_TASKS, p=w))
         lower = [t for t in range(C.N_TASKS) if rank[t] < rank[j]]
         k = int(rng.randint(0, min(2, len(lower)) + 1))
         S = sorted(
@@ -357,8 +364,9 @@ def main():
                     help="fixed_init_state world-pool size")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--pair-episodes", type=int, default=24)
-    ap.add_argument("--dagger-rounds", type=int, default=3)
-    ap.add_argument("--dagger-episodes", type=int, default=700)
+    ap.add_argument("--dagger-rounds", type=int, default=5)
+    ap.add_argument("--dagger-episodes", type=int, default=1000)
+    ap.add_argument("--hidden", type=int, default=512)
     ap.add_argument("--triples", type=int, default=6)
     ap.add_argument("--triple-episodes", type=int, default=16)
     ap.add_argument("--seed", type=int, default=5)
@@ -398,7 +406,7 @@ def main():
         f"pending-relabel {len(demos_p.actions)}) in {time.time() - t0:.0f}s")
 
     model, params = init_cpv(jax.random.PRNGKey(args.seed + 1), 8, 8,
-                             hidden=256)
+                             hidden=args.hidden)
     params = scan_bc_train(
         demos_aug, jax.random.PRNGKey(args.seed + 2), model, params,
         epochs=args.epochs, batch=512, lr=2e-3,

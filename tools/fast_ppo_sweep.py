@@ -52,12 +52,15 @@ SEEDS = (0, 1)
 
 
 def throughput(fppo) -> float:
-    """Delta-timed (N vs N/2 updates) full-loop rate at the headline config."""
+    """Full-loop rate at the headline config, absolute-timed over one long
+    on-device run (64 updates per dispatch: the ~35 ms relay constant is
+    <2% and amortized; short delta timings proved unstable across relay
+    sessions)."""
     cfg = ray_config()
     key = jax.random.PRNGKey(0)
     ts = fp.init_fast_train_state(key, cfg, fppo)
     env = fp.fresh_packed_batch(cfg, jax.random.fold_in(key, 1), B_BENCH)
-    N = 12
+    N = 64
 
     def run(n):
         # train_many_fast donates ts (donate_argnums=(2,)): on TPU the call
@@ -68,56 +71,73 @@ def throughput(fppo) -> float:
                                                 jax.random.PRNGKey(7))
         return float(m["loss"][-1])  # host transfer = real sync
 
-    def med(n):
-        run(n)
-        vals = []
-        for _ in range(5):
-            t0 = time.time()
-            run(n)
-            vals.append(time.time() - t0)
-        vals.sort()
-        return vals[len(vals) // 2]
-
-    dt = (med(N) - med(N // 2)) / (N - N // 2)
-    return B_BENCH * fppo.rollout_steps / dt
+    run(N)  # compile + warm
+    best = min(_timed(run, N) for _ in range(3))
+    return B_BENCH * fppo.rollout_steps * N / best
 
 
-def learning_curve(fppo, seed) -> list:
-    """success-per-step trajectory on single-task 8x8 at B_LEARN envs."""
+def _timed(run, n):
+    t0 = time.time()
+    run(n)
+    return time.time() - t0
+
+
+def learning_curve(fppo, seed, n_updates=None) -> list:
+    """success-per-step trajectory on single-task 8x8 at B_LEARN envs.
+
+    ``n_updates`` defaults to LEARN_UPDATES; pass a larger count for
+    wall-clock-matched comparisons (a config that runs k x faster gets k x
+    the updates of the baseline in the same wall time).
+    """
     cfg = dataclasses.replace(flat_config(), stacking=False)
     ts = fp.init_fast_train_state(jax.random.PRNGKey(100 + seed), cfg, fppo)
     env = fp.fresh_packed_batch(cfg, jax.random.PRNGKey(200 + seed), B_LEARN)
-    ts, env, key, m = fp.train_many_fast(cfg, fppo, ts, env, LEARN_UPDATES,
+    ts, env, key, m = fp.train_many_fast(cfg, fppo, ts, env,
+                                         n_updates or LEARN_UPDATES,
                                          jax.random.PRNGKey(300 + seed))
     return [float(x) for x in np.asarray(m["success_per_step"])]
 
 
 def main():
     results = {}
+    base_rate = None
     for name, kw in CANDIDATES.items():
         fppo = fp.FastPPOConfig(**kw)
         t0 = time.time()
         rate = throughput(fppo)
+        if base_rate is None:  # first candidate is the default baseline
+            base_rate = rate
         print(f"{name}: {rate:.3e} env-steps/s full loop "
               f"({time.time() - t0:.0f}s)", flush=True)
+        # wall-clock-matched update budget: a config k x faster than the
+        # default gets k x the default's LEARN_UPDATES in the same wall time
+        n_wall = max(LEARN_UPDATES, int(round(LEARN_UPDATES * rate
+                                              / base_rate)))
         curves = {}
         for seed in SEEDS:
-            c = learning_curve(fppo, seed)
+            c = learning_curve(fppo, seed, n_updates=n_wall)
             curves[f"seed{seed}"] = c
-            tail = float(np.mean(c[-32:]))
-            print(f"  learn seed{seed}: success/step last32 {tail:.5f}",
-                  flush=True)
+            tail = float(np.mean(c[LEARN_UPDATES - 32:LEARN_UPDATES]))
+            tail_w = float(np.mean(c[-32:]))
+            print(f"  learn seed{seed}: success/step last32 {tail:.5f} "
+                  f"(matched env-steps) / {tail_w:.5f} (matched wall-clock, "
+                  f"{n_wall} updates)", flush=True)
         results[name] = {
             "throughput_env_steps_per_s": rate,
+            "wall_clock_updates": n_wall,
             "curves_success_per_step": curves,
             "tail_mean_success_per_step": {
+                s: float(np.mean(v[LEARN_UPDATES - 32:LEARN_UPDATES]))
+                for s, v in curves.items()
+            },
+            "tail_mean_success_per_step_wall_clock": {
                 s: float(np.mean(v[-32:])) for s, v in curves.items()
             },
         }
     doc = {
         "config": {
             "bench": {"envs": B_BENCH, "grid": "21x21 stacked",
-                      "timing": "delta (N vs N/2 updates, median of 5)"},
+                      "timing": "absolute, 64 updates/dispatch, best of 3"},
             "learning": {"envs": B_LEARN, "grid": "8x8 single-task",
                          "updates": LEARN_UPDATES, "seeds": list(SEEDS)},
         },
