@@ -196,7 +196,7 @@ def collect_context_demos(episodes, seed, pool, rank):
     while kept < episodes and attempts < 8 * episodes:
         attempts += 1
         env.reset()
-        j = int(rng.choice(C.N_TASKS, p=w))
+        j = int(rng.randint(C.N_TASKS))
         lower = [t for t in range(C.N_TASKS) if rank[t] < rank[j]]
         k = int(rng.randint(0, min(2, len(lower)) + 1))
         S = sorted(
