@@ -53,6 +53,35 @@ def feature_dim(height: int, width: int) -> int:
     return height * width * C.N_CHANNELS + 2 * C.N_TASKS
 
 
+def obs_features_init(state: EnvState) -> jax.Array:
+    """:func:`obs_features` ++ the flattened init-grid one-hot (9 channels:
+    8 objects + the agent's reset cell).
+
+    The Move*/GoToHouse evaluation compares the live grid against
+    INIT_OBS_VECTOR (craftingworld_ray.py:670-702): stepping on an item's
+    *origin* cell while carrying it clears its Move* bit — but origin cells
+    are empty in the current grid, so a policy without the init view cannot
+    route around them (the reference carries ``init_observation`` in its
+    observation dict for exactly this reason, :183-187). Required by the CPV
+    family for compositions involving Move*/GoToHouse.
+    """
+    B = state.objects.shape[0]
+    init = state.init_objects.astype(jnp.int32)
+    init_oh = jax.nn.one_hot(init - 1, C.N_OBJECTS + 1, dtype=jnp.float32)
+    # channels 0-7: object origins; channel 8: agent reset cell
+    return jnp.concatenate(
+        [
+            obs_features(state),
+            init_oh.reshape(B, -1),
+        ],
+        axis=-1,
+    )
+
+
+def feature_dim_init(height: int, width: int) -> int:
+    return feature_dim(height, width) + height * width * (C.N_OBJECTS + 1)
+
+
 def init_params(key, height: int = 21, width: int = 21, hidden: int = 512):
     model = ActorCritic(hidden=hidden)
     dummy = jnp.zeros((1, feature_dim(height, width)), jnp.float32)

@@ -45,6 +45,10 @@ class CPVPolicy(nn.Module):
     embed_dim: int = 32
     hidden: int = 256
     n_actions: int = C.N_ACTIONS
+    with_init: bool = False  # consume obs_features_init rows (grid ++ goal
+    # bits ++ init-grid one-hot): the Move*/GoToHouse semantics compare the
+    # live grid against the reset grid, so item-origin cells are invisible
+    # without the init view (models/actor_critic.obs_features_init)
 
     def plan_vector(self, desired, achieved):
         """Residual plan embedding: (desired - achieved) @ E."""
@@ -57,15 +61,23 @@ class CPVPolicy(nn.Module):
 
     @nn.compact
     def __call__(self, obs):
+        from gym_craftingworld_tpu.models.actor_critic import feature_dim_init
+
         grid_dim = self.height * self.width * C.N_CHANNELS
-        if obs.shape[-1] != feature_dim(self.height, self.width):
+        want = (feature_dim_init(self.height, self.width) if self.with_init
+                else feature_dim(self.height, self.width))
+        if obs.shape[-1] != want:
             raise ValueError(
-                f"obs width {obs.shape[-1]} != feature_dim("
-                f"{self.height},{self.width})"
+                f"obs width {obs.shape[-1]} != {want} for "
+                f"CPVPolicy(with_init={self.with_init}, "
+                f"{self.height}x{self.width})"
             )
         grid = obs[..., :grid_dim]
         desired = obs[..., grid_dim : grid_dim + C.N_TASKS]
-        achieved = obs[..., grid_dim + C.N_TASKS :]
+        achieved = obs[..., grid_dim + C.N_TASKS : grid_dim + 2 * C.N_TASKS]
+        if self.with_init:
+            init = obs[..., grid_dim + 2 * C.N_TASKS :]
+            grid = jnp.concatenate([grid, init], axis=-1)
         plan = self.plan_vector(desired, achieved)
 
         x = nn.Dense(self.hidden, dtype=jnp.bfloat16, name="grid0")(
@@ -81,10 +93,14 @@ class CPVPolicy(nn.Module):
 
 
 def init_cpv(key, height: int, width: int, embed_dim: int = 32,
-             hidden: int = 256):
+             hidden: int = 256, with_init: bool = False):
+    from gym_craftingworld_tpu.models.actor_critic import feature_dim_init
+
     model = CPVPolicy(height=height, width=width, embed_dim=embed_dim,
-                      hidden=hidden)
-    dummy = jnp.zeros((1, feature_dim(height, width)), jnp.float32)
+                      hidden=hidden, with_init=with_init)
+    dim = (feature_dim_init(height, width) if with_init
+           else feature_dim(height, width))
+    dummy = jnp.zeros((1, dim), jnp.float32)
     return model, model.init(key, dummy)
 
 

@@ -234,6 +234,8 @@ def fused_minibatch_grads(fppo: FastPPOConfig, params: MLPParams, batch,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         feat.astype(bf16), action.astype(jnp.int32), old_lp, old_v,

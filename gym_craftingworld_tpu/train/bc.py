@@ -57,13 +57,16 @@ class Demos(NamedTuple):
 
 def collect_demos(num_episodes: int, seed: int = 0,
                   only_successful: bool = True, random_warmup: int = 0,
-                  **env_kwargs) -> Demos:
+                  feature_fn=None, **env_kwargs) -> Demos:
     """Expert demonstrations over ``num_episodes`` seeded resets.
 
     ``env_kwargs`` pass through to :class:`CraftingWorldEnvRay` (grid size,
     ``selected_tasks``, ``stacking``, ``fixed_init_state`` pool, ...). With
     ``only_successful`` (default) episodes where the expert failed are
     dropped, so the dataset contains only goal-reaching behaviour.
+
+    ``feature_fn`` overrides the per-state feature builder (default
+    ``obs_features``; the CPV protocol passes ``obs_features_init``).
 
     ``random_warmup > 0`` takes 0..N unrecorded random *move* steps before
     handing control to the expert — standard noise injection that widens
@@ -96,7 +99,7 @@ def collect_demos(num_episodes: int, seed: int = 0,
             a = expert.action()
             if a is None:  # stalled: mirror ExpertPolicy.run_episode
                 a = C.ACTION_UP
-            ep_f.append(np.asarray(obs_features(env.state))[0])
+            ep_f.append(np.asarray((feature_fn or obs_features)(env.state))[0])
             ep_a.append(int(a))
             _, reward, done, _ = env.step(int(a))
             if done:

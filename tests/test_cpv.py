@@ -75,3 +75,33 @@ def test_cpv_executes_stacked_tasks_from_single_task_demos():
                                  **kw)
     # trained on single-task trajectories only; stacked sets execute
     assert out["success_rate"] >= 0.6, out
+
+
+def test_cpv_with_init_features():
+    """The init-aware CPV variant consumes obs_features_init rows.
+
+    The Move*/GoToHouse bits compare the live grid against the reset grid
+    (craftingworld_ray.py:670-702); without the init view origin cells are
+    invisible, so the compositional protocol uses this variant.
+    """
+    import jax
+    import numpy as np
+
+    from gym_craftingworld_tpu import flat_config, reset_from_seed
+    from gym_craftingworld_tpu.models.actor_critic import (
+        feature_dim_init,
+        obs_features_init,
+    )
+    from gym_craftingworld_tpu.models.cpv import init_cpv
+
+    model, params = init_cpv(jax.random.PRNGKey(0), 8, 8, with_init=True)
+    st = reset_from_seed(flat_config(), 3, 4)
+    f = obs_features_init(st)
+    assert f.shape == (4, feature_dim_init(8, 8))
+    logits, value = model.apply(params, f)
+    assert logits.shape == (4, 6) and value.shape == (4,)
+    assert np.isfinite(np.asarray(logits)).all()
+    # the init block one-hots init_objects: exactly 9 cells marked per env
+    grid_dim = 8 * 8 * 12
+    init_block = np.asarray(f[:, grid_dim + 18:])
+    assert init_block.reshape(4, 64, 9).sum() == 4 * 9

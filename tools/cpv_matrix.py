@@ -185,7 +185,9 @@ def collect_context_demos(episodes, seed, pool, rank):
     lower-rank predecessors are already complete. Returns (Demos, task[row])."""
     from gym_craftingworld_tpu.agents.expert import ExpertPolicy
     from gym_craftingworld_tpu.api.gym_env import CraftingWorldEnvRay
-    from gym_craftingworld_tpu.models.actor_critic import obs_features
+    from gym_craftingworld_tpu.models.actor_critic import (
+        obs_features_init as obs_features,
+    )
 
     env = CraftingWorldEnvRay(seed=seed, size=(8, 8), max_steps=60,
                               stacking=False, fixed_init_state=pool)
@@ -246,7 +248,9 @@ def collect_policy_dagger(model, params, episodes, seed, pool, rank,
     """
     from gym_craftingworld_tpu.agents.expert import ExpertPolicy
     from gym_craftingworld_tpu.api.gym_env import CraftingWorldEnvRay
-    from gym_craftingworld_tpu.models.actor_critic import obs_features
+    from gym_craftingworld_tpu.models.actor_critic import (
+        obs_features_init as obs_features,
+    )
 
     _LATCH = (C.T_MAKE_BREAD, C.T_EAT_BREAD, C.T_BUILD_HOUSE, C.T_CHOP_TREE,
               C.T_CHOP_ROCK)
@@ -332,7 +336,9 @@ def greedy_eval(model, params, pool_seed, eval_seed, episodes, n_tasks,
     For stacked evals, keeps resetting until exactly ``n_tasks`` bits drawn.
     """
     from gym_craftingworld_tpu.api.gym_env import CraftingWorldEnvRay
-    from gym_craftingworld_tpu.models.actor_critic import obs_features
+    from gym_craftingworld_tpu.models.actor_critic import (
+        obs_features_init as obs_features,
+    )
 
     env = CraftingWorldEnvRay(
         seed=pool_seed, size=(8, 8), max_steps=60, stacking=stacking,
@@ -380,9 +386,14 @@ def main():
     grid_dim = 8 * 8 * C.N_CHANNELS
     singles, single_tasks = [], []
     for k, task in enumerate(names):
+        from gym_craftingworld_tpu.models.actor_critic import (
+            obs_features_init,
+        )
+
         d = bc.collect_demos(
             args.episodes_per_task, seed=args.seed,
-            selected_tasks=[task], random_warmup=25, **base,
+            selected_tasks=[task], random_warmup=25,
+            feature_fn=obs_features_init, **base,
         )
         singles.append(d)
         single_tasks.append(np.full(len(d.actions), k, np.int32))
@@ -406,7 +417,7 @@ def main():
         f"pending-relabel {len(demos_p.actions)}) in {time.time() - t0:.0f}s")
 
     model, params = init_cpv(jax.random.PRNGKey(args.seed + 1), 8, 8,
-                             hidden=args.hidden)
+                             hidden=args.hidden, with_init=True)
     params = scan_bc_train(
         demos_aug, jax.random.PRNGKey(args.seed + 2), model, params,
         epochs=args.epochs, batch=512, lr=2e-3,
