@@ -83,15 +83,24 @@ def _kernel(cfg: EnvConfig, seed_ref, *out_refs):
         keys = jnp.where(rows < HW, keys, i32(-1))
         picks = _take_picks(keys, rows, C.N_OBJECTS + 1)
 
-        # ---- task draw: k = randint(9)+1, uniform ordered k-subset ----
+        # ---- task draw (craftingworld_ray.py:169-176 semantics):
+        # k = randint(number_of_tasks)+1 when stacking else 1, tasks a
+        # uniform ordered k-subset of cfg.selected_task_indices ----
+        sel = cfg.selected_task_indices
         tbits = pltpu.prng_random_bits((16, _LANES))
         tkeys = (pltpu.bitcast(tbits, jnp.uint32) >> jnp.uint32(1)).astype(i32)
         trows = jax.lax.broadcasted_iota(i32, tkeys.shape, 0)
-        tscores = jnp.where(trows < C.N_TASKS, tkeys, i32(-1))
-        kdraw = jnp.sum(
-            jnp.where(trows == C.N_TASKS, tkeys, 0), axis=0
-        ) % i32(C.N_TASKS) + 1  # [128] in 1..9 (modulo bias ~4e-9)
-        task_picks = _take_picks(tscores, trows, C.N_TASKS)
+        valid = jnp.zeros(trows.shape, jnp.bool_)
+        for t in sel:  # static, <= 9 rows
+            valid = valid | (trows == t)
+        tscores = jnp.where(valid, tkeys, i32(-1))
+        if cfg.stacking:
+            kdraw = jnp.sum(
+                jnp.where(trows == C.N_TASKS, tkeys, 0), axis=0
+            ) % i32(cfg.number_of_tasks) + 1  # [128] (modulo bias ~4e-9)
+        else:
+            kdraw = jnp.ones((_LANES,), i32)
+        task_picks = _take_picks(tscores, trows, len(sel))
         desired = jnp.zeros((_LANES,), i32)
         for t, a in enumerate(task_picks):
             desired = desired | jnp.where(t < kdraw, i32(1) << a, 0)

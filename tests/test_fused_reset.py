@@ -46,3 +46,29 @@ def test_fused_reset_invariants_interpret():
     assert (np.asarray(p.icode_here) == C.AGENT_INIT_MARK).all()
     assert (np.asarray(p.achieved) == 0).all()
     assert (np.asarray(p.step_num) == 0).all()
+
+
+def test_fused_reset_respects_task_config_interpret():
+    """stacking=False / selected_tasks restrict the desired draw.
+
+    (The sweep's 8x8 single-task learning benchmark regressed 30x when the
+    first kernel version always drew stacked 9-task goals — this pins the
+    craftingworld_ray.py:169-176 semantics per config.)
+    """
+    import dataclasses
+
+    from gym_craftingworld_tpu import flat_config
+
+    cfg = dataclasses.replace(flat_config(), stacking=False)
+    p = fresh_packed_fused(cfg, 5, BLOCK, interpret=True)
+    des = np.asarray(p.desired).astype(np.int64)
+    pop = np.array([bin(int(d)).count("1") for d in des])
+    assert (pop == 1).all()  # exactly one task when not stacking
+
+    cfg2 = dataclasses.replace(
+        flat_config(), selected_task_indices=(1, 4), number_of_tasks=2)
+    p2 = fresh_packed_fused(cfg2, 5, BLOCK, interpret=True)
+    des2 = np.asarray(p2.desired).astype(np.int64)
+    allowed = (1 << 1) | (1 << 4)
+    assert (des2 & ~allowed == 0).all()
+    assert (des2 != 0).all()
