@@ -75,6 +75,21 @@ class FastPPOConfig(NamedTuple):
     max_grad_norm: float = 0.5
     hidden: int = 512
 
+    @classmethod
+    def throughput(cls, **overrides) -> "FastPPOConfig":
+        """The swept wall-clock-optimal preset: 1 epoch, hidden 384.
+
+        ~2x the default's env-steps/s (3.99e7 vs 1.95e7 at 16k envs on v5e)
+        at the SAME wall-clock learning on the sweep benchmark (tail
+        success/step 0.0099 vs 0.0101 — within seed noise; the default wins
+        per *env-step*, i.e. when samples are the scarce resource). Curves
+        for both accountings: docs/fast_ppo_sweep.json. The default config's
+        update phase is FLOP-bound (2 epochs x 1M samples x h512 ≈ 4e12
+        FLOPs ≈ 20 ms at v5e bf16 peak), so its rate ceiling is ~2.6e7 —
+        reduced-epoch presets are how the loop goes materially faster.
+        """
+        return cls(update_epochs=1, hidden=384)._replace(**overrides)
+
 
 # ---------------------------------------------------------------------------
 # fresh worlds, directly in the packed layout
