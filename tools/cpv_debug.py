@@ -45,8 +45,13 @@ def train(args):
     grid_dim = 8 * 8 * C.N_CHANNELS
     singles, single_tasks = [], []
     for k, task in enumerate(names):
+        from gym_craftingworld_tpu.models.actor_critic import (
+            obs_features_init,
+        )
+
         d = bc.collect_demos(args.episodes_per_task, seed=args.seed,
-                             selected_tasks=[task], random_warmup=25, **base)
+                             selected_tasks=[task], random_warmup=25,
+                             feature_fn=obs_features_init, **base)
         singles.append(d)
         single_tasks.append(np.full(len(d.actions), k, np.int32))
     demos_s = bc.concat_demos(*singles)
@@ -60,7 +65,7 @@ def train(args):
     demos_aug = bc.concat_demos(demos_base, demos_p)
     print(f"dataset rows: {len(demos_aug.actions)}")
     model, params = init_cpv(jax.random.PRNGKey(args.seed + 1), 8, 8,
-                             hidden=256)
+                             hidden=256, with_init=True)
     params = cm.scan_bc_train(demos_aug, jax.random.PRNGKey(args.seed + 2),
                               model, params, epochs=args.epochs, batch=512,
                               lr=2e-3)
@@ -69,7 +74,9 @@ def train(args):
 
 def trace_pair(model, params, pair, args, episodes=8, verbose=2):
     from gym_craftingworld_tpu.api.gym_env import CraftingWorldEnvRay
-    from gym_craftingworld_tpu.models.actor_critic import obs_features
+    from gym_craftingworld_tpu.models.actor_critic import (
+        obs_features_init as obs_features,
+    )
 
     names = list(C.TASK_LIST)
     idx = [names.index(p) for p in pair]
@@ -137,7 +144,7 @@ def main():
     from gym_craftingworld_tpu.models.cpv import init_cpv
 
     model, params0 = init_cpv(jax.random.PRNGKey(args.seed + 1), 8, 8,
-                              hidden=256)
+                              hidden=256, with_init=True)
     if os.path.exists(args.params) and not args.retrain:
         with open(args.params, "rb") as f:
             params = pickle.load(f)
