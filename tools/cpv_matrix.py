@@ -326,14 +326,19 @@ def augment_pending(demos, tasks, rank, seed, grid_dim):
 
 
 def greedy_eval(model, params, pool_seed, eval_seed, episodes, n_tasks,
-                selected_tasks, pool, stacking):
-    """Greedy rollouts on the *training world pool* but a fresh episode RNG.
+                selected_tasks, pool, stacking, sample=False):
+    """Policy rollouts on the *training world pool* but a fresh episode RNG.
 
     The CPV measurement holds the worlds fixed (the paper-style fixed env
     set; train/test novelty is the task *composition*): the env is built
     with the training seed so ``fixed_init_state`` regenerates the same
     pool, then reseeded so task draws and world order differ from training.
     For stacked evals, keeps resetting until exactly ``n_tasks`` bits drawn.
+
+    ``sample=True`` executes the policy's own softmax distribution instead
+    of argmax: BC from a multi-modal expert leaves near-ties whose argmax
+    can limit-cycle (tools/cpv_debug.py traces); sampling breaks the cycles
+    while following the same learned policy. Both modes are reported.
     """
     from gym_craftingworld_tpu.api.gym_env import CraftingWorldEnvRay
     from gym_craftingworld_tpu.models.actor_critic import (
@@ -346,6 +351,7 @@ def greedy_eval(model, params, pool_seed, eval_seed, episodes, n_tasks,
     )
     env.seed(eval_seed)
     apply = jax.jit(lambda p, f: model.apply(p, f)[0])
+    rng = np.random.RandomState(eval_seed ^ 0xC9C1E)
     succ, tries, resets = 0, 0, 0
     while tries < episodes and resets < 60 * episodes:
         env.reset()
@@ -355,7 +361,14 @@ def greedy_eval(model, params, pool_seed, eval_seed, episodes, n_tasks,
         tries += 1
         reward = -1
         for _ in range(env.MAX_STEPS):
-            a = int(jnp.argmax(apply(params, obs_features(env.state))[0]))
+            logits = np.asarray(apply(params, obs_features(env.state))[0],
+                                np.float64)
+            if sample:
+                p = np.exp(logits - logits.max())
+                p /= p.sum()
+                a = int(rng.choice(len(p), p=p))
+            else:
+                a = int(np.argmax(logits))
             _, reward, done, _ = env.step(a)
             if done:
                 break
@@ -463,6 +476,8 @@ def main():
                           )},
                "singles": {}, "pairs": {}, "triples": {}}
 
+    results["pairs_argmax"] = {}
+    results["triples_argmax"] = {}
     for task in names:
         sr, n = greedy_eval(model, params, args.seed, args.seed + 7001, 16,
                             1, [task], args.pool, stacking=False)
@@ -473,9 +488,14 @@ def main():
         pair = (names[i], names[j])
         sr, n = greedy_eval(model, params, args.seed, args.seed + 8001,
                             args.pair_episodes, 2, list(pair), args.pool,
-                            stacking=True)
+                            stacking=True, sample=True)
+        sr_g, _ = greedy_eval(model, params, args.seed, args.seed + 8001,
+                              args.pair_episodes, 2, list(pair), args.pool,
+                              stacking=True, sample=False)
         results["pairs"]["+".join(pair)] = sr
-        log(f"pair {pair[0]}+{pair[1]}: {sr:.2f} ({n} eps)")
+        results["pairs_argmax"]["+".join(pair)] = sr_g
+        log(f"pair {pair[0]}+{pair[1]}: {sr:.2f} sampled / {sr_g:.2f} "
+            f"argmax ({n} eps)")
 
     rng = np.random.RandomState(args.seed + 13)
     for _ in range(args.triples):
@@ -483,13 +503,26 @@ def main():
         tri_names = [names[t] for t in tri]
         sr, n = greedy_eval(model, params, args.seed, args.seed + 9001,
                             args.triple_episodes, 3, tri_names, args.pool,
-                            stacking=True)
+                            stacking=True, sample=True)
+        sr_g, _ = greedy_eval(model, params, args.seed, args.seed + 9001,
+                              args.triple_episodes, 3, tri_names, args.pool,
+                              stacking=True, sample=False)
         results["triples"]["+".join(tri_names)] = sr
-        log(f"triple {'+'.join(tri_names)}: {sr:.2f} ({n} eps)")
+        results["triples_argmax"]["+".join(tri_names)] = sr_g
+        log(f"triple {'+'.join(tri_names)}: {sr:.2f} sampled / {sr_g:.2f} "
+            f"argmax ({n} eps)")
 
     pair_rates = list(results["pairs"].values())
     results["pair_mean"] = float(np.mean(pair_rates))
     results["pair_min"] = float(np.min(pair_rates))
+    pa = list(results["pairs_argmax"].values())
+    results["pair_mean_argmax"] = float(np.mean(pa))
+    results["pair_min_argmax"] = float(np.min(pa))
+    results["execution"] = (
+        "headline pairs/triples execute the policy's own softmax "
+        "distribution (argmax rates recorded alongside): BC from a "
+        "multi-modal expert leaves near-ties whose argmax limit-cycles"
+    )
     with open(OUT, "w") as f:
         json.dump(results, f, indent=2, sort_keys=True)
     log(f"pair mean {results['pair_mean']:.3f} min {results['pair_min']:.3f} "
