@@ -186,3 +186,25 @@ class TestGif:
         assert len(gifs) == 1
         name = os.path.basename(gifs[0])
         assert name.startswith("E0(4)_")
+
+
+def test_docs_build(tmp_path, monkeypatch):
+    """The dependency-free docs builder renders every page + index.
+
+    (Reference parity: the reference ships a Sphinx build; this environment
+    has no doc tooling, so docs/build.py is the stdlib equivalent.)
+    """
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "docs_build", os.path.join(repo, "docs", "build.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "OUT", str(tmp_path))
+    assert mod.main() == 0
+    built = os.listdir(tmp_path)
+    assert "index.html" in built and "benchmarks.html" in built
+    idx = open(tmp_path / "index.html").read()
+    assert "environment.html" in idx
