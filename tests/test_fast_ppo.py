@@ -127,3 +127,28 @@ def test_fast_ppo_learns_single_task():
         f"success/step did not rise: {sps[:16].mean():.5f} → "
         f"{sps[-16:].mean():.5f}"
     )
+
+
+def test_throughput_preset_trains():
+    """FastPPOConfig.throughput() (1 epoch, hidden 384) runs the full step.
+
+    The preset's learning/wall-clock trade-off is recorded in
+    docs/fast_ppo_sweep.json; this pins that it constructs and trains.
+    """
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from gym_craftingworld_tpu import flat_config
+    from gym_craftingworld_tpu.train import fast_ppo as fp
+
+    cfg = dataclasses.replace(flat_config(), stacking=False)
+    fppo = fp.FastPPOConfig.throughput(rollout_steps=8, num_minibatches=2,
+                                       hidden=48)
+    assert fppo.update_epochs == 1
+    ts = fp.init_fast_train_state(jax.random.PRNGKey(0), cfg, fppo)
+    env = fp.fresh_packed_batch(cfg, jax.random.PRNGKey(1), 256)
+    ts, env, key, m = fp.train_step_fast(cfg, fppo, ts, env,
+                                         jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
