@@ -71,7 +71,12 @@ def _take_picks(scores, rows, picks):
 def _kernel(cfg: EnvConfig, seed_ref, *out_refs):
     HW = cfg.n_cells
     HWp = _pad8(HW)
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # Two seed words: the block index perturbs the first, the second extends
+    # the stream space to ~62 bits — with a single 31-bit word, block-seed
+    # ranges (seed + i) from different updates collide after ~10^4 updates
+    # (expected hundreds of duplicated 1024-world blocks per 100k updates at
+    # n=32k), mildly violating the iid pool contract.
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
 
     for g in range(_GROUPS):
         sl = pl.ds(g * _LANES, _LANES)
@@ -111,12 +116,15 @@ def _kernel(cfg: EnvConfig, seed_ref, *out_refs):
 
 
 @partial(jax.jit, static_argnums=(0, 2), static_argnames=("interpret",))
-def fresh_packed_fused(cfg: EnvConfig, seed, n: int, *,
+def fresh_packed_fused(cfg: EnvConfig, seed, n: int, *, seed2=0,
                        interpret: bool = False) -> PackedState:
     """`fresh_packed_batch` semantics from the in-kernel TPU PRNG.
 
     Same state distribution (uniform one-of-each placement + reference task
     draw); different bitstream (seeded per block, like the bench kernel).
+    ``seed2`` is a second independent seed word: callers drawing pools every
+    update (train/fast_ppo._fresh_pool) pass two fresh 31-bit words so block
+    streams are disjoint across updates (see _kernel).
     """
     if n % BLOCK:
         raise ValueError(f"n ({n}) must be a multiple of {BLOCK}")
@@ -133,7 +141,7 @@ def fresh_packed_fused(cfg: EnvConfig, seed, n: int, *,
         ),
         out_shape=[jax.ShapeDtypeStruct((n,), i32) for _ in range(n_out)],
         interpret=(pltpu.InterpretParams() if interpret else False),
-    )(jnp.asarray([seed], i32))
+    )(jnp.stack([jnp.asarray(seed, i32), jnp.asarray(seed2, i32)]))
     slot_key = jnp.stack(outs[: C.N_OBJECTS]).astype(i16)  # [8, n]
     agent_key = outs[C.N_OBJECTS].astype(i16)
     desired = outs[C.N_OBJECTS + 1].astype(i16)

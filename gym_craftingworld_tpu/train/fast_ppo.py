@@ -34,9 +34,11 @@ loop around what the TPU is fast at:
   the update consumes, so minibatching is a pure column gather and the policy
   sees bit-identical inputs in collect and update.
 
-Measured on v5e (16k envs, 21x21, rollout_steps=64): ~84 ms/update =
-1.25e7 env-steps/s through the full PPO loop (collect alone ~8e7), ~120x the
-reference-parity path; delta-timed via train_many_fast (tools/fast_ppo_bench.py).
+Measured on v5e (16k envs, 21x21, rollout_steps=64): ~52.5 ms/update =
+1.95e7 env-steps/s through the full PPO loop at the default config (collect
+alone ~8e7; the 1-epoch ``throughput()`` preset reaches 3.99e7), ~190x the
+reference-parity path; absolute 64-update timing via train_many_fast
+(tools/fast_ppo_bench.py). Current numbers live in docs/benchmarks.md.
 """
 
 from __future__ import annotations
@@ -349,10 +351,11 @@ def _mm_bm(x, w):
     The update phase runs batch-major while the collect runs feature-major:
     with batch on lanes ([F, B]) the *forward* fills the MXU, but every
     weight gradient then contracts over the minor lane axis, which XLA
-    lowers through full activation transposes — measured 71 ms of a 84 ms
-    update at 16k envs, ~13% MXU efficiency on the backward. Batch-major
-    activations give the standard wgrad lowering (contraction over the
-    major axis) at identical math.
+    lowers through full activation transposes — before this re-layout the
+    wgrads alone consumed ~85% of the update's wall time at 16k envs, ~13%
+    MXU efficiency on the backward. Batch-major activations give the
+    standard wgrad lowering (contraction over the major axis) at identical
+    math.
     """
     return jax.lax.dot_general(
         x.astype(bf16), w.astype(bf16),
@@ -514,26 +517,44 @@ def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
     return params, opt_state, losses, auxes
 
 
-def _fresh_pool(cfg: EnvConfig, key, n: int) -> PackedState:
+def _fresh_pool(cfg: EnvConfig, key, n: int,
+                fused: bool | None = None) -> PackedState:
     """Auto-reset pool: the fused in-VMEM generator on TPU (same world/task
     distribution, in-kernel PRNG — ops/fused_reset.py), the jax.random path
-    elsewhere. The pool's only contract is iid reference-distribution worlds."""
-    if jax.devices()[0].platform == "tpu":
+    elsewhere. The pool's only contract is iid reference-distribution worlds.
+
+    ``fused=False`` forces the jax.random path: the pallas_call is not
+    shard_map-wrapped, so under a multi-device mesh jit it would risk a
+    partitioner error or silent pool replication — the sharded wrapper
+    (parallel/sharded_engine.fast_train_step_sharded) passes False.
+    Two fresh seed words per pool keep block PRNG streams disjoint across
+    updates (fused_reset._kernel).
+    """
+    if fused is None:
+        fused = jax.devices()[0].platform == "tpu"
+    if fused:
         from gym_craftingworld_tpu.ops.fused_reset import BLOCK, fresh_packed_fused
 
         if n % BLOCK == 0:
-            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
-            return fresh_packed_fused(cfg, seed, n)
+            seeds = jax.random.randint(key, (2,), 0, 2**31 - 1, jnp.int32)
+            return fresh_packed_fused(cfg, seeds[0], n, seed2=seeds[1])
     return fresh_packed_batch(cfg, key, n)
 
 
-@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,),
+         static_argnames=("fused_pool",))
 def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
-                    env: PackedState, key):
-    """One PPO iteration on the packed engine. Returns (ts, env, key, metrics)."""
+                    env: PackedState, key, *,
+                    fused_pool: bool | None = None):
+    """One PPO iteration on the packed engine. Returns (ts, env, key, metrics).
+
+    ``fused_pool``: auto-reset pool source — None (default) auto-selects the
+    fused Pallas generator on TPU; False forces the partitioner-safe
+    jax.random path (required under a multi-device mesh, see _fresh_pool).
+    """
     key, k_pool, k_roll, k_perm = jax.random.split(key, 4)
     B_env = env.agent_r.shape[-1]
-    pool = _fresh_pool(cfg, k_pool, 2 * B_env)
+    pool = _fresh_pool(cfg, k_pool, 2 * B_env, fused=fused_pool)
     env, traj = _collect(cfg, fppo, ts.params, env, pool, k_roll)
     _, last_value = apply_policy(ts.params, features(cfg, env))
     adv, ret = _gae(fppo, traj, last_value)
@@ -568,9 +589,11 @@ def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
     return ts, env, key, metrics
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(0, 1, 4), donate_argnums=(2,),
+         static_argnames=("fused_pool",))
 def train_many_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
-                    env: PackedState, num_updates: int, key):
+                    env: PackedState, num_updates: int, key, *,
+                    fused_pool: bool | None = None):
     """``num_updates`` fully-on-device PPO iterations in one dispatch.
 
     Metrics come back stacked [num_updates]; use this for throughput
@@ -579,7 +602,8 @@ def train_many_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
 
     def body(carry, _):
         ts, env, key = carry
-        ts, env, key, metrics = train_step_fast(cfg, fppo, ts, env, key)
+        ts, env, key, metrics = train_step_fast(cfg, fppo, ts, env, key,
+                                                fused_pool=fused_pool)
         return (ts, env, key), metrics
 
     (ts, env, key), metrics = jax.lax.scan(

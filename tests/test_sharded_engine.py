@@ -117,3 +117,34 @@ def test_fast_ppo_train_step_sharded():
                                                jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert len(env.slot_key.sharding.device_set) == 8
+
+
+def test_fast_step_sharded_forces_partitioner_safe_pool(monkeypatch):
+    """fast_train_step_sharded must gate the fused Pallas reset OFF on a
+    >1-device mesh: the raw pallas_call is not shard_map-wrapped, so the
+    partitioner would reject it or silently replicate the 2*B pool per
+    device. The sharded wrapper passes fused_pool=False down to _fresh_pool
+    (which the trace records here)."""
+    from gym_craftingworld_tpu.train import fast_ppo as fp
+
+    cfg = ray_config()
+    mesh = make_env_mesh(8)
+    fppo = fp.FastPPOConfig(rollout_steps=8, num_minibatches=2,
+                            update_epochs=1, hidden=64)
+    env = se.shard_packed(
+        fp.fresh_packed_batch(cfg, jax.random.PRNGKey(0), 1024), mesh)
+    ts = fp.init_fast_train_state(jax.random.PRNGKey(1), cfg, fppo)
+
+    seen = []
+    orig = fp._fresh_pool
+
+    def spy(cfg_, key_, n_, fused=None):
+        seen.append(fused)
+        return orig(cfg_, key_, n_, fused=fused)
+
+    monkeypatch.setattr(fp, "_fresh_pool", spy)
+    step = se.fast_train_step_sharded(cfg, fppo, mesh)
+    ts, env, _, metrics = step(ts, env, jax.random.PRNGKey(2))
+    assert seen == [False], seen
+    assert np.isfinite(float(metrics["loss"]))
+    assert env.slot_key.sharding.spec == P(None, "env")

@@ -300,8 +300,15 @@ def collect_policy_dagger(model, params, episodes, seed, pool, rank,
             _, reward, done, _ = env.step(a)
             if done:
                 break
+        if n_rows == 0:
+            continue  # first-frame latch break / no state recorded: don't
+            # count the episode against the batch (it contributed nothing)
         eps.extend([kept] * n_rows)
         kept += 1
+    if not feats:  # every attempt failed: return an empty batch, not a crash
+        dim = int(np.asarray(obs_features(env.state)).shape[-1])
+        return bc.Demos(np.zeros((0, dim), np.float32),
+                        np.zeros((0,), np.int32), np.zeros((0,), np.int32))
     return bc.Demos(np.stack(feats).astype(np.float32),
                     np.asarray(acts, np.int32), np.asarray(eps, np.int32))
 
