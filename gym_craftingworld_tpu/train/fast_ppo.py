@@ -444,32 +444,48 @@ def _loss_bm(fppo: FastPPOConfig, params: MLPParams, batch):
     return loss, {"pg_loss": pg, "v_loss": v_loss, "entropy": entropy}
 
 
+def shuffle_block(T: int, B: int, num_minibatches: int) -> int:
+    """Shuffle-block rows: the largest power-of-two multiple of 128 (≤ 2048)
+    that tiles every minibatch. 2048 matches the fused kernel's best row
+    tile, so one shuffle block = one kernel grid step and the permuted block
+    DMA sequence IS the shuffle (ops/fused_update.fused_minibatch_grads_indexed).
+    """
+    rows_mb = (T * B) // num_minibatches
+    for blk in (2048, 1024, 512, 256, 128):
+        if rows_mb % blk == 0:
+            return blk
+    raise ValueError(
+        f"rollout_steps*batch/num_minibatches ({rows_mb}) must be a "
+        f"multiple of 128 for block-shuffled minibatching"
+    )
+
+
 def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
                   adv, ret, k_perm, use_fused_kernel: bool | None = None):
     """GAE-to-optimizer tail of one PPO iteration (shared with the profiler).
 
-    Blocks are (timestep, 128-env span) tiles exactly as before — the
-    permutation semantics and minibatch membership are unchanged from the
-    feature-major formulation; only the activation layout flipped.
+    Shuffle blocks are (timestep, env-span) tiles of :func:`shuffle_block`
+    rows (2048 at production shapes — one fused-kernel grid step each). With
+    envs iid and blocks drawn across all timesteps, minibatch mixing is
+    preserved at any block width; the coarser-than-128 width exists so the
+    fused kernel can pull each permuted block straight from the un-shuffled
+    feature slab (no per-epoch gather, no per-minibatch slice copies).
 
     ``use_fused_kernel`` selects the fused Pallas gradient kernel
     (ops/fused_update.py) over autodiff of :func:`_loss_bm`. Default: on
-    whenever running on TPU — the kernel tile-pads internally, so every
-    production minibatch shape takes the fused path. The kernel is the
-    same math (gradient parity pinned by tests/test_fused_update.py); it
-    exists because the autodiff schedule is HBM-bound (see the kernel's
-    docstring).
+    whenever running on TPU. The kernel is the same math (gradient parity
+    pinned by tests/test_fused_update.py); it exists because the autodiff
+    schedule is HBM-bound (see the kernel's docstring).
     """
     T, B = traj.action.shape
     F = traj.feat.shape[1]
-    BLK = 128
+    BLK = shuffle_block(T, B, fppo.num_minibatches)
     NB = (T * B) // BLK
     if use_fused_kernel is None:
         use_fused_kernel = jax.devices()[0].platform == "tpu"
     featb = jnp.transpose(traj.feat, (0, 2, 1)).reshape(NB, BLK, F)
     blk = lambda x: x.reshape(NB, BLK)
-    flat = (
-        featb,
+    vecs = (
         blk(traj.action),
         blk(traj.log_prob),
         blk(traj.value),
@@ -477,28 +493,26 @@ def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
         blk(ret),
     )
     optimizer = make_optimizer(fppo)
+    nbm = NB // fppo.num_minibatches
+    mb = nbm * BLK
 
     def epoch(carry, k_e):
         params, opt_state = carry
         perm = jax.random.permutation(k_e, NB)
-        shuf = tuple(x[perm] for x in flat)
-        nbm = NB // fppo.num_minibatches
-        mb = nbm * BLK
 
         def minibatch(carry, i):
             params, opt_state = carry
-            feat_mb = jax.lax.dynamic_slice_in_dim(
-                shuf[0], i * nbm, nbm
-            ).reshape(mb, F)
-            rest = tuple(
-                jax.lax.dynamic_slice_in_dim(x, i * nbm, nbm).reshape(mb)
-                for x in shuf[1:]
-            )
-            batch = (feat_mb,) + rest
+            ids = jax.lax.dynamic_slice_in_dim(perm, i * nbm, nbm)
+            # the five per-row vectors are ~1% of the bytes: gather them in
+            # XLA; the feature slab is gathered by the kernel's index map
+            rest = tuple(x[ids].reshape(mb) for x in vecs)
             if use_fused_kernel:
-                grads, aux = _fu().fused_minibatch_grads(fppo, params, batch)
+                grads, aux = _fu().fused_minibatch_grads_indexed(
+                    fppo, params, featb, ids, rest
+                )
                 loss = aux.pop("loss")
             else:
+                batch = (featb[ids].reshape(mb, F),) + rest
                 (loss, aux), grads = jax.value_and_grad(
                     lambda p: _loss_bm(fppo, p, batch), has_aux=True
                 )(params)
@@ -560,17 +574,12 @@ def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
     adv, ret = _gae(fppo, traj, last_value)
 
     T, B = traj.action.shape
-    # Shuffle in blocks of 128 lanes, not per sample: a per-sample
+    # Shuffle in blocks of lane tiles, not per sample: a per-sample
     # permutation of the T*B samples is a fine-grained gather the TPU
     # serialises element-by-element (~180ms/update measured); permuting
-    # whole 128-wide tiles along the major axis moves the same bytes at
-    # HBM speed. Each block is one (timestep, 128-env span) — with envs iid
-    # and blocks drawn across all timesteps, minibatch mixing is preserved.
-    if (T * B) % (128 * fppo.num_minibatches):
-        raise ValueError(
-            f"rollout_steps*batch ({T}*{B}) must be a multiple of "
-            f"128*num_minibatches for block-shuffled minibatching"
-        )
+    # whole lane-tile blocks along the major axis moves the same bytes at
+    # HBM speed (and the fused kernel skips even that — see _update_phase).
+    shuffle_block(T, B, fppo.num_minibatches)  # raises if shapes don't tile
     params, opt_state, losses, auxes = _update_phase(
         fppo, ts, traj, adv, ret, k_perm
     )

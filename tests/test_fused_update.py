@@ -108,6 +108,12 @@ def test_fused_kernel_end_to_end_curve(monkeypatch):
         fu, "fused_minibatch_grads",
         lambda fppo, params, batch: _orig(fppo, params, batch, True),
     )
+    _orig_idx = fu.fused_minibatch_grads_indexed
+    monkeypatch.setattr(
+        fu, "fused_minibatch_grads_indexed",
+        lambda fppo, params, featb, ids, rest: _orig_idx(
+            fppo, params, featb, ids, rest, interpret=True),
+    )
     cfg = dataclasses.replace(flat_config(), stacking=False)
     fppo = fp.FastPPOConfig(rollout_steps=16, num_minibatches=2,
                             update_epochs=1, hidden=64)
@@ -156,3 +162,41 @@ def test_fused_grads_in_train_shapes():
     cos = (g * r).sum() / (np.linalg.norm(g) * np.linalg.norm(r) + 1e-12)
     assert cos > 0.999
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_indexed_grads_match_plain_gather():
+    """fused_minibatch_grads_indexed (in-kernel permuted-block gather) must
+    equal fused_minibatch_grads on the explicitly gathered batch — the
+    index-map DMA sequence is the shuffle, nothing else may change."""
+    import numpy as np
+
+    from gym_craftingworld_tpu import ray_config
+    from gym_craftingworld_tpu.ops import fused_update as fu
+    from gym_craftingworld_tpu.train import fast_ppo as fp
+
+    cfg = ray_config()
+    fppo = fp.FastPPOConfig(hidden=64)
+    params = fp.init_params(jax.random.PRNGKey(0), cfg, fppo)
+    F = fp.feature_rows(cfg)
+    NB, BLK, nbm = 8, 256, 4
+    kb = jax.random.split(jax.random.PRNGKey(1), 6)
+    featb = jax.random.normal(kb[0], (NB, BLK, F), jnp.bfloat16)
+    ids = jnp.asarray([5, 0, 3, 6], jnp.int32)
+    N = nbm * BLK
+    rest = (
+        jax.random.randint(kb[1], (N,), 0, 6, jnp.int32),
+        jax.random.normal(kb[2], (N,), jnp.float32),
+        jax.random.normal(kb[3], (N,), jnp.float32),
+        jax.random.normal(kb[4], (N,), jnp.float32),
+        jax.random.normal(kb[5], (N,), jnp.float32),
+    )
+    g_idx, aux_idx = fu.fused_minibatch_grads_indexed(
+        fppo, params, featb, ids, rest, interpret=True)
+    batch = (featb[ids].reshape(N, F),) + rest
+    g_ref, aux_ref = fu.fused_minibatch_grads(
+        fppo, params, batch, True, tile=BLK)
+    for a, b in zip(jax.tree.leaves(g_idx), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(aux_idx["loss"]), float(aux_ref["loss"]),
+                               rtol=1e-6)
