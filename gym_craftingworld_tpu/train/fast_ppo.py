@@ -34,9 +34,9 @@ loop around what the TPU is fast at:
   the update consumes, so minibatching is a pure column gather and the policy
   sees bit-identical inputs in collect and update.
 
-Measured on v5e (16k envs, 21x21, rollout_steps=64): ~52.5 ms/update =
-1.95e7 env-steps/s through the full PPO loop at the default config (collect
-alone ~8e7; the 1-epoch ``throughput()`` preset reaches 3.99e7), ~190x the
+Measured on v5e (16k envs, 21x21, rollout_steps=64): ~30.5 ms/update =
+3.44e7 env-steps/s through the full PPO loop at the default config (collect
+alone ~1.7e8; the 1-epoch ``throughput()`` preset reaches 7.71e7), ~340x the
 reference-parity path; absolute 64-update timing via train_many_fast
 (tools/fast_ppo_bench.py). Current numbers live in docs/benchmarks.md.
 """
@@ -81,14 +81,14 @@ class FastPPOConfig(NamedTuple):
     def throughput(cls, **overrides) -> "FastPPOConfig":
         """The swept wall-clock-optimal preset: 1 epoch, hidden 384.
 
-        ~2x the default's env-steps/s (3.99e7 vs 1.95e7 at 16k envs on v5e)
-        at the SAME wall-clock learning on the sweep benchmark (tail
+        ~2.2x the default's env-steps/s (7.71e7 vs 3.44e7 at 16k envs on
+        v5e) at the SAME wall-clock learning on the sweep benchmark (tail
         success/step 0.0099 vs 0.0101 — within seed noise; the default wins
         per *env-step*, i.e. when samples are the scarce resource). Curves
         for both accountings: docs/fast_ppo_sweep.json. The default config's
-        update phase is FLOP-bound (2 epochs x 1M samples x h512 ≈ 4e12
-        FLOPs ≈ 20 ms at v5e bf16 peak), so its rate ceiling is ~2.6e7 —
-        reduced-epoch presets are how the loop goes materially faster.
+        update phase is genuinely FLOP-dominated now (its fused kernel runs
+        at 89% of the useful-FLOP roofline — docs/benchmarks.md), so
+        reduced-epoch presets remain how the loop goes materially faster.
         """
         return cls(update_epochs=1, hidden=384)._replace(**overrides)
 
