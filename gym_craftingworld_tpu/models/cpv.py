@@ -104,6 +104,74 @@ def init_cpv(key, height: int, width: int, embed_dim: int = 32,
     return model, model.init(key, dummy)
 
 
+class CPVGridPolicy(nn.Module):
+    """CPV at canonical scale: conv torso, goal via residual plan vector ONLY.
+
+    Consumes the exact (planes, extras) tensors of models/grid_policy.py so
+    the SnapDataset trainer (train/dagger.bc_train_snaps / _bc_epoch) and
+    the on-device rollout machinery drop in unchanged — but the goal
+    conditioning is protocol-pure CPV:
+
+      * of the 49 feature planes it reads only the first 18 (current objects
+        8, agent 1, init objects 8, init-agent mark 1) — the broadcast
+        desired/achieved/residual planes are explicitly sliced away;
+      * of the 33 extras it reads holding (4) and the agent row/col (2);
+        the desired/achieved rows (extras[..., 4:13] / [..., 13:22], see
+        grid_policy._scalar_features) enter ONLY as the residual plan
+        embedding ``(desired - achieved) @ E`` — so composite plans are sums
+        of their parts by construction, the Plan-Arithmetic claim
+        (reference README.md:8) this model family exists to test.
+    """
+
+    channels: int = 64
+    hidden: int = 1024
+    embed_dim: int = 32
+    n_actions: int = C.N_ACTIONS
+
+    @nn.compact
+    def __call__(self, planes, extras):
+        x = planes[..., :18].astype(jnp.bfloat16)  # objects+agent+init only
+        hold = extras[..., :4].astype(jnp.bfloat16)
+        desired = extras[..., 4:13]
+        achieved = extras[..., 13:22]
+        rc = extras[..., -2:].astype(jnp.bfloat16)
+        E = self.param(
+            "task_embed",
+            nn.initializers.normal(stddev=1.0),
+            (C.N_TASKS, self.embed_dim),
+        )
+        plan = (desired - achieved).astype(jnp.float32) @ E
+
+        for i in range(3):
+            x = nn.Conv(self.channels, (3, 3), dtype=jnp.bfloat16,
+                        name=f"conv{i}")(x)
+            x = nn.relu(x)
+        x = nn.Conv(32, (1, 1), dtype=jnp.bfloat16, name="squeeze")(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = jnp.concatenate(
+            [x, hold, rc, plan.astype(jnp.bfloat16)], axis=-1
+        )
+        x = nn.Dense(self.hidden, dtype=jnp.bfloat16, name="dense0")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.hidden // 2, dtype=jnp.bfloat16, name="dense1")(x)
+        x = nn.relu(x)
+        logits = nn.Dense(self.n_actions, dtype=jnp.float32, name="policy")(x)
+        value = nn.Dense(1, dtype=jnp.float32, name="value")(x)
+        return logits, value.squeeze(-1)
+
+
+def init_cpv_grid(key, cfg, channels: int = 64, hidden: int = 1024,
+                  embed_dim: int = 32):
+    from gym_craftingworld_tpu.models.grid_policy import N_EXTRAS, N_PLANES
+
+    model = CPVGridPolicy(channels=channels, hidden=hidden,
+                          embed_dim=embed_dim)
+    dummy_p = jnp.zeros((1, cfg.height, cfg.width, N_PLANES), jnp.bfloat16)
+    dummy_e = jnp.zeros((1, N_EXTRAS), jnp.bfloat16)
+    return model, model.init(key, dummy_p, dummy_e)
+
+
 def plan_of(model: CPVPolicy, params, desired, achieved) -> jax.Array:
     """The residual plan vector for given goal masks (plan arithmetic probe)."""
     E = params["params"]["task_embed"]
