@@ -1,0 +1,470 @@
+"""Distill the canonical grid policy into an IMAGES-ONLY pixel policy.
+
+VERDICT r4 item 3: pixels are the reference's primary observation mode
+(craftingworld_ray.py:84-92), so the framework should demonstrate a
+pixel-input policy actually solving the canonical 21x21 stacked setting.
+This tool BC-distills the 97.2% GridPolicy teacher
+(docs/canonical_policy.json) into models/cnn.PixelDistillStudent, which
+consumes exactly the reference observation content — the current frame, the
+imagined desired-goal frame, and the init frame, as rendered RGB — and
+nothing else (no goal bits, no achieved vector, no step counter).
+
+DAgger-style loop, fully on device except bookkeeping:
+  round 0   roll the TEACHER greedily on fresh canonical resets, record
+            ~40-byte state snapshots (+ the episode's imagined-goal
+            occupancy so goal frames can be re-rendered at train time);
+  round 1+  roll the STUDENT (eps-greedy) — its own visitation
+            distribution — and label every visited state with the teacher;
+  train     minibatches re-render (current, goal, init) frames from the
+            snapshot columns on device and fit cross-entropy to the
+            teacher's action.
+
+Output: docs/pixel_canonical.json gains a "distilled_student" section with
+the final canonical stacked exact-match evaluation.
+
+    python tools/pixel_distill.py [--rounds 4] [--episodes 8192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+from flax import serialization  # noqa: E402
+
+from gym_craftingworld_tpu import constants as C  # noqa: E402
+from gym_craftingworld_tpu.config import EnvConfig  # noqa: E402
+from gym_craftingworld_tpu.core.reset import reset as core_reset  # noqa: E402
+from gym_craftingworld_tpu.core.step import _step_one  # noqa: E402
+from gym_craftingworld_tpu.models.cnn import (  # noqa: E402
+    init_student,
+    student_images,
+)
+from gym_craftingworld_tpu.models.grid_policy import (  # noqa: E402
+    init_grid_policy,
+    planes_from_snaps,
+    planes_from_state,
+    snap_columns_from_state,
+)
+from gym_craftingworld_tpu.render.raster import render_ray  # noqa: E402
+from gym_craftingworld_tpu.train.evaluate import summarize  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "pixel_canonical.json")
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# device-side grid rebuild from occupancy columns
+# ---------------------------------------------------------------------------
+
+
+def grids_from_occ(cfg: EnvConfig, occ_key, occ_code):
+    """(cell, code) slot pairs → int8 code grids [B, H, W] (scatter-free)."""
+    HW = cfg.n_cells
+    cells = jnp.arange(HW, dtype=jnp.int32)
+    hit = occ_key.astype(jnp.int32)[:, :, None] == cells[None, None, :]
+    flat = jnp.sum(hit * occ_code.astype(jnp.int32)[:, :, None], axis=1)
+    return flat.astype(jnp.int8).reshape(-1, cfg.height, cfg.width)
+
+
+def init_grids_from_keys(cfg: EnvConfig, init_key):
+    """init_key[s] (slot s = object code s+1) → int8 grids [B, H, W]."""
+    HW = cfg.n_cells
+    cells = jnp.arange(HW, dtype=jnp.int32)
+    hit = init_key.astype(jnp.int32)[:, :, None] == cells[None, None, :]
+    codes = jnp.arange(1, C.N_OBJECTS + 1, dtype=jnp.int32)
+    flat = jnp.sum(hit * codes[None, :, None], axis=1)
+    return flat.astype(jnp.int8).reshape(-1, cfg.height, cfg.width)
+
+
+def rc(cfg, key):
+    key = key.astype(jnp.int32)
+    return jnp.stack([key // cfg.width, key % cfg.width], axis=-1)
+
+
+def images_from_cols(cfg: EnvConfig, cols: dict):
+    """Snapshot columns → stacked (current, goal, init) frames uint8[B,...,9]."""
+    cur = grids_from_occ(cfg, cols["occ_key"], cols["occ_code"])
+    goal = grids_from_occ(cfg, cols["goal_occ_key"], cols["goal_occ_code"])
+    init = init_grids_from_keys(cfg, cols["init_key"])
+    zero = jnp.zeros(cur.shape[0], jnp.int32)
+    img_c = render_ray(cur, rc(cfg, cols["agent_key"]),
+                       cols["holding"].astype(jnp.int32))
+    img_g = render_ray(goal, rc(cfg, cols["goal_agent_key"]), zero)
+    img_i = render_ray(init, rc(cfg, cols["init_agent_key"]), zero)
+    return jnp.concatenate([img_c, img_g, img_i], axis=-1)
+
+
+def goal_columns_from_state(cfg: EnvConfig, state):
+    """Imagined-goal occupancy columns (same argsort trick as
+    snap_columns_from_state; goal grids hold <= 8 objects: imagination only
+    transforms/removes/moves the reset set, core/imagine.py)."""
+    B = state.goal_objects.shape[0]
+    flat = state.goal_objects.reshape(B, cfg.n_cells).astype(jnp.int32)
+    mask = flat > 0
+    order = jnp.argsort(jnp.logical_not(mask), axis=1, stable=True)[
+        :, : C.N_OBJECTS
+    ]
+    code = jnp.take_along_axis(flat, order, axis=1)
+    occ_key = jnp.where(code > 0, order, cfg.n_cells + 1).astype(jnp.int16)
+    gk = (state.goal_agent[:, 0] * cfg.width + state.goal_agent[:, 1]).astype(
+        jnp.int16)
+    return dict(goal_occ_key=occ_key, goal_occ_code=code.astype(jnp.int8),
+                goal_agent_key=gk)
+
+
+# ---------------------------------------------------------------------------
+# rollouts
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 7))
+def _rollout_collect(cfg: EnvConfig, driver_kind: str, model, params, keys,
+                     explore_key, eps: float, student_model=None,
+                     student_params=None):
+    """Roll teacher ('grid') or student ('pixel') from fresh canonical
+    resets; record snapshot + goal columns per step."""
+    state = core_reset(cfg, keys)
+    B = keys.shape[0]
+    goal_cols = goal_columns_from_state(cfg, state)
+    zero = jnp.zeros(B, jnp.int32)
+    img_g = render_ray(state.goal_objects, state.goal_agent, zero)
+    init_nomark = jnp.where(
+        state.init_objects == C.AGENT_INIT_MARK, 0, state.init_objects
+    )
+    img_i = render_ray(init_nomark, state.init_agent, zero)
+
+    def body(carry, k_t):
+        st, done, reward = carry
+        cols = snap_columns_from_state(cfg, st)
+        if driver_kind == "grid":
+            planes, extras = planes_from_state(cfg, st)
+            logits, _ = model.apply(params, planes, extras)
+        else:
+            img_c = render_ray(st.objects, st.agent, st.holding)
+            images = jnp.concatenate([img_c, img_g, img_i], axis=-1)
+            logits, _ = model.apply(params, images)
+        action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        k_u, k_a = jax.random.split(k_t)
+        rnd = jax.random.randint(k_a, (B,), 0, 4)
+        action = jnp.where(jax.random.uniform(k_u, (B,)) < eps, rnd, action)
+        st2, res = jax.vmap(partial(_step_one, cfg))(st, action)
+        st2 = jax.tree.map(
+            lambda new, old: jnp.where(
+                done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+            ),
+            st2, st,
+        )
+        reward = jnp.where(done, reward, res.reward)
+        live = ~done
+        done = done | res.done
+        return (st2, done, reward), (cols, live)
+
+    (state, done, reward), (cols, live) = jax.lax.scan(
+        body, (state, jnp.zeros(B, bool), jnp.full(B, -1, jnp.int32)),
+        jax.random.split(explore_key, cfg.max_steps),
+    )
+    return cols, goal_cols, live, reward == cfg.max_steps
+
+
+def collect_round(cfg, kind, model, params, episodes, seed, eps, chunk=2048):
+    """Host-side: chunked rollouts → flat snapshot column dict + success."""
+    parts = []
+    succ = []
+    for i in range(0, episodes, chunk):
+        B = min(chunk, episodes - i)
+        keys = jax.random.split(jax.random.PRNGKey(seed + i), B)
+        cols, goal_cols, live, success = _rollout_collect(
+            cfg, kind, model, params, jax.random.key_data(keys),
+            jax.random.PRNGKey(seed ^ (7 + i)), eps)
+        live = np.asarray(live)  # [T, B]
+        sel = live.reshape(-1)
+        host = {k: np.asarray(v).reshape((-1,) + v.shape[2:])[sel]
+                for k, v in cols.items()}
+        T = live.shape[0]
+        for k, v in goal_cols.items():
+            vb = np.broadcast_to(
+                np.asarray(v)[None], (T,) + v.shape
+            ).reshape((-1,) + v.shape[1:])[sel]
+            host[k] = vb
+        parts.append(host)
+        succ.append(np.asarray(success))
+    out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    return out, float(np.concatenate(succ).mean())
+
+
+# ---------------------------------------------------------------------------
+# teacher labeling + student training
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _teacher_label(cfg, model, params, cols):
+    planes, extras = planes_from_snaps(
+        cfg, cols["occ_key"], cols["occ_code"], cols["init_key"],
+        cols["init_agent_key"], cols["agent_key"], cols["holding"],
+        cols["desired"], cols["achieved"],
+    )
+    logits, _ = model.apply(params, planes, extras)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int8)
+
+
+def teacher_label(cfg, model, params, cols, chunk=8192):
+    n = len(cols["agent_key"])
+    labels = np.zeros(n, np.int8)
+    for i in range(0, n, chunk):
+        sl = {k: jnp.asarray(v[i:i + chunk]) for k, v in cols.items()
+              if k not in ("goal_occ_key", "goal_occ_code", "goal_agent_key")}
+        labels[i:i + chunk] = np.asarray(
+            _teacher_label(cfg, model, params, sl))
+    return labels
+
+
+_IMG_COLS = ("occ_key", "occ_code", "agent_key", "holding", "init_key",
+             "init_agent_key", "goal_occ_key", "goal_occ_code",
+             "goal_agent_key")
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
+def _student_epoch(cfg, model, batch_size, ts, data, perm):
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
+    steps = perm.shape[0] // batch_size
+
+    def minibatch(ts, i):
+        params, opt_state = ts
+        idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
+        mb = jax.tree.map(lambda a: a[idx], data)
+        images = images_from_cols(cfg, mb)
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, images)
+            logp = jax.nn.log_softmax(logits)
+            ce = -jnp.take_along_axis(
+                logp, mb["label"][:, None].astype(jnp.int32), axis=1
+            ).mean()
+            acc = (jnp.argmax(logits, -1) == mb["label"]).mean()
+            return ce, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (loss, acc)
+
+    ts, (losses, accs) = jax.lax.scan(
+        minibatch, ts, jnp.arange(steps, dtype=jnp.int32))
+    return ts, losses.mean(), accs.mean()
+
+
+# ---------------------------------------------------------------------------
+# student evaluation (canonical stacked exact match)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _eval_student(cfg, model, params, keys):
+    state = core_reset(cfg, keys)
+    B = keys.shape[0]
+    zero = jnp.zeros(B, jnp.int32)
+    img_g = render_ray(state.goal_objects, state.goal_agent, zero)
+    init_nomark = jnp.where(
+        state.init_objects == C.AGENT_INIT_MARK, 0, state.init_objects
+    )
+    img_i = render_ray(init_nomark, state.init_agent, zero)
+
+    def body(carry):
+        st, done, reward = carry
+        img_c = render_ray(st.objects, st.agent, st.holding)
+        images = jnp.concatenate([img_c, img_g, img_i], axis=-1)
+        logits, _ = model.apply(params, images)
+        action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        st2, res = jax.vmap(partial(_step_one, cfg))(st, action)
+        st2 = jax.tree.map(
+            lambda new, old: jnp.where(
+                done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+            ),
+            st2, st,
+        )
+        reward = jnp.where(done, reward, res.reward)
+        done = done | res.done
+        return st2, done, reward
+
+    state, done, reward = jax.lax.while_loop(
+        lambda c: ~jnp.all(c[1]), body,
+        (state, jnp.zeros(B, bool), jnp.full(B, -1, jnp.int32)),
+    )
+    return {
+        "success": reward == cfg.max_steps,
+        "steps": state.step_num,
+        "desired": state.desired,
+        "achieved": state.achieved,
+    }
+
+
+def eval_student(cfg, model, params, episodes, seed, chunk=2048):
+    outs = []
+    for i in range(0, episodes, chunk):
+        B = min(chunk, episodes - i)
+        keys = jax.random.split(jax.random.PRNGKey(seed + 31 * i), B)
+        outs.append(jax.tree.map(
+            np.asarray,
+            _eval_student(cfg, model, params, jax.random.key_data(keys))))
+    return summarize({k: np.concatenate([o[k] for o in outs])
+                      for k in outs[0]})
+
+
+# ---------------------------------------------------------------------------
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--teacher", default="runs/canonical_big/"
+                    "params_targeted_c_final.msgpack")
+    ap.add_argument("--teacher-channels", type=int, default=96)
+    ap.add_argument("--teacher-hidden", type=int, default=1536)
+    ap.add_argument("--channels", type=int, default=96)
+    ap.add_argument("--hidden", type=int, default=1536)
+    ap.add_argument("--stem", type=int, default=64)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--episodes", type=int, default=8192)
+    ap.add_argument("--epochs0", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--eval-episodes", type=int, default=2048)
+    ap.add_argument("--final-eval-episodes", type=int, default=8192)
+    ap.add_argument("--max-rows", type=int, default=5_000_000)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--out", default=OUT)
+    ap.add_argument("--save", default="runs/pixel_distill")
+    args = ap.parse_args()
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+        args = ap.parse_args([
+            "--smoke", "--rounds", "1", "--episodes", "8", "--epochs0", "1",
+            "--epochs", "1", "--batch", "32", "--eval-episodes", "8",
+            "--final-eval-episodes", "8", "--channels", "8", "--hidden",
+            "32", "--stem", "8", "--teacher-channels", "8",
+            "--teacher-hidden", "32", "--teacher", "",
+            "--out", "/tmp/pixel_smoke.json", "--save", "/tmp/pixel_smoke",
+        ])
+        cfg = EnvConfig(height=8, width=8, max_steps=40)
+    else:
+        from gym_craftingworld_tpu import ray_config
+
+        cfg = ray_config()
+
+    t_model, t_params = init_grid_policy(
+        jax.random.PRNGKey(0), cfg, args.teacher_channels,
+        args.teacher_hidden)
+    if args.teacher:
+        with open(args.teacher, "rb") as f:
+            t_params = serialization.from_bytes(t_params, f.read())
+        log(f"teacher loaded from {args.teacher}")
+
+    s_model, s_params = init_student(
+        jax.random.PRNGKey(args.seed), cfg, channels=args.channels,
+        hidden=args.hidden, stem=args.stem)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
+    ts = (s_params, tx.init(s_params))
+
+    data = None
+    history = []
+    for r in range(args.rounds):
+        t0 = time.time()
+        if r == 0:
+            cols, sr = collect_round(
+                cfg, "grid", t_model, t_params, args.episodes,
+                args.seed + 100, eps=0.02)
+            log(f"round 0: teacher rollouts sr {sr:.3f}, "
+                f"{len(cols['agent_key'])} rows ({time.time() - t0:.0f}s)")
+        else:
+            cols, sr = collect_round(
+                cfg, "pixel", s_model, ts[0], args.episodes,
+                args.seed + 100 * r, eps=0.02)
+            log(f"round {r}: STUDENT rollouts sr {sr:.3f}, "
+                f"{len(cols['agent_key'])} rows ({time.time() - t0:.0f}s)")
+        cols["label"] = teacher_label(cfg, t_model, t_params, cols)
+        data = cols if data is None else {
+            k: np.concatenate([data[k], cols[k]]) for k in cols}
+        if len(data["label"]) > args.max_rows:
+            keep = np.random.RandomState(args.seed + r).choice(
+                len(data["label"]), args.max_rows, replace=False)
+            data = {k: v[keep] for k, v in data.items()}
+        dev = {k: jnp.asarray(v) for k, v in data.items()
+               if k in _IMG_COLS + ("label",)}
+        n = len(data["label"])
+        epochs = args.epochs0 if r == 0 else args.epochs
+        for ep in range(epochs):
+            perm = jax.random.permutation(
+                jax.random.PRNGKey(args.seed + 17 * r + ep), n)
+            ts, loss, acc = _student_epoch(cfg, s_model, args.batch, ts, dev,
+                                           perm)
+            log(f"  train ep {ep}: loss {float(loss):.4f} "
+                f"acc {float(acc):.4f} ({n} rows)")
+        res = eval_student(cfg, s_model, ts[0], args.eval_episodes,
+                           args.seed + 900 + r)
+        log(f"round {r} eval: {res['success_rate']:.4f} over "
+            f"{res['episodes']} eps")
+        history.append({"round": r, "rollout_sr": sr, **res})
+
+    res = eval_student(cfg, s_model, ts[0], args.final_eval_episodes, 31337)
+    log(f"FINAL student eval: {res['success_rate']:.4f} over "
+        f"{res['episodes']} eps")
+
+    os.makedirs(args.save, exist_ok=True)
+    with open(os.path.join(args.save, "student.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(ts[0])))
+
+    try:
+        with open(args.out) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        doc = {}
+    doc["distilled_student"] = {
+        "final_eval": res,
+        "history": history,
+        "observation": (
+            "images ONLY: current frame + imagined desired-goal frame + "
+            "init frame (the reference's pixel observation content, "
+            "craftingworld_ray.py:84-92); no goal bits, no achieved "
+            "vector, no step counter"
+        ),
+        "model": f"PixelDistillStudent(stem={args.stem}, "
+                 f"channels={args.channels}, hidden={args.hidden})",
+        "teacher": "GridPolicy(96, 1536) @ 97.2% "
+                   "(docs/canonical_policy.json)",
+        "protocol": (
+            f"DAgger distillation: round 0 teacher rollouts, later rounds "
+            f"student rollouts, all states labeled by the teacher; "
+            f"{args.rounds} rounds x {args.episodes} episodes"
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+    log(f"→ {args.out}")
+
+
+if __name__ == "__main__":
+    main()
