@@ -345,7 +345,11 @@ def _rollout_from(cfg: EnvConfig, model, params, state: EnvState, key,
     """Roll the policy from ``state``; returns (cols [T,B], live, success).
 
     mode: 'argmax' greedy, 'sample' softmax draws (BC from a multi-modal
-    expert leaves near-ties whose argmax can limit-cycle; both are measured).
+    expert leaves near-ties whose argmax can limit-cycle; both are
+    measured), 'argmax_eps' greedy + 5% random moves — the DAgger driver:
+    greedy execution visits exactly the limit-cycle orbit states the argmax
+    evaluation fails on, and the eps moves kick the rollout off the orbit so
+    later frames sample the surrounding basin too.
     """
     B = state.objects.shape[0]
     T = cfg.max_steps
@@ -360,6 +364,11 @@ def _rollout_from(cfg: EnvConfig, model, params, state: EnvState, key,
                 jnp.int32)
         else:
             action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if mode == "argmax_eps":
+            k_u, k_a = jax.random.split(jax.random.fold_in(k_t, 1))
+            rnd = jax.random.randint(k_a, (B,), 0, 4)
+            action = jnp.where(
+                jax.random.uniform(k_u, (B,)) < 0.05, rnd, action)
         st2, res = jax.vmap(partial(_step_one, cfg))(st, action)
         st2 = jax.tree.map(
             lambda new, old: jnp.where(
@@ -413,12 +422,13 @@ def _success_from(cfg: EnvConfig, model, params, state: EnvState, key,
     return reward == cfg.max_steps, state.achieved
 
 
-def dagger_collect(cfg, model, params, state, tasks, seed):
+def dagger_collect(cfg, model, params, state, tasks, seed,
+                   mode="argmax_eps"):
     """Policy rollout from handoff starts; expert labels on all salvageable
     live states (train/dagger.collect_policy_states semantics, custom
     starts). Returns (SnapDataset labeled, task per row, success rate)."""
     cols, live, success = _rollout_from(
-        cfg, model, params, state, jax.random.PRNGKey(seed), "sample"
+        cfg, model, params, state, jax.random.PRNGKey(seed), mode
     )
     live = np.asarray(live)
     ach = np.asarray(cols["achieved"]).astype(np.int64)
@@ -467,12 +477,12 @@ def main():
     ap.add_argument("--pool", type=int, default=256)
     ap.add_argument("--singles-per-task", type=int, default=512)
     ap.add_argument("--handoff-episodes", type=int, default=4096)
-    ap.add_argument("--bc-epochs", type=int, default=12)
-    ap.add_argument("--dagger-rounds", type=int, default=5)
-    ap.add_argument("--dagger-episodes", type=int, default=2048)
-    ap.add_argument("--dagger-epochs", type=int, default=4)
+    ap.add_argument("--bc-epochs", type=int, default=16)
+    ap.add_argument("--dagger-rounds", type=int, default=8)
+    ap.add_argument("--dagger-episodes", type=int, default=3072)
+    ap.add_argument("--dagger-epochs", type=int, default=3)
     ap.add_argument("--cell-episodes", type=int, default=256)
-    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--channels", type=int, default=96)
     ap.add_argument("--hidden", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--seed", type=int, default=7)
@@ -504,9 +514,23 @@ def main():
     log(f"pool: {args.pool} worlds at {cfg.height}x{cfg.width}")
 
     # ---- phase 1: expert data (singles + handoffs) -------------------------
+    cache = (os.path.join(args.save_params, "phase1.npz")
+             if args.save_params else None)
+    if cache and os.path.exists(cache) and not args.smoke:
+        z = np.load(cache)
+        data = SnapDataset(**{f: z[f] for f in SnapDataset._fields})
+        tasks_all = z["tasks"]
+        log(f"phase-1 data loaded from {cache}: {data.num_rows} rows")
+        aug = augment_pending(data, tasks_all, args.seed + 999)
+        data = SnapDataset.concat(data, aug)
+        log(f"dataset: {data.num_rows} rows incl. {aug.num_rows} relabels")
+        t0 = time.time()
+        parts = None
+    else:
+        parts = []
     t0 = time.time()
-    parts, part_tasks = [], []
-    for j in range(C.N_TASKS):
+    part_tasks = []
+    for j in (range(C.N_TASKS) if parts is not None else ()):
         B = args.singles_per_task
         widx = np.arange(B) % args.pool
         state, tasks = build_start_states(
@@ -519,7 +543,7 @@ def main():
             f"({snaps.num_rows} rows, expert sr {sr:.3f})")
     chunk = 512
     done_eps = 0
-    while done_eps < args.handoff_episodes:
+    while parts is not None and done_eps < args.handoff_episodes:
         B = min(chunk, args.handoff_episodes - done_eps)
         state, tasks = draw_handoff_batch(
             cfg, pool_objects, pool_agent, B, rng)
@@ -530,12 +554,18 @@ def main():
         done_eps += B
         log(f"handoff {done_eps}/{args.handoff_episodes}: +{snaps.num_rows} "
             f"rows (expert sr {sr:.3f})")
-    data = SnapDataset.concat(*parts)
-    tasks_all = np.concatenate(part_tasks)
-    aug = augment_pending(data, tasks_all, args.seed + 999)
-    data = SnapDataset.concat(data, aug)
-    log(f"dataset: {data.num_rows} rows (incl. {aug.num_rows} pending "
-        f"relabels) in {time.time() - t0:.0f}s")
+    if parts is not None:
+        data = SnapDataset.concat(*parts)
+        tasks_all = np.concatenate(part_tasks)
+        if cache and not args.smoke:
+            os.makedirs(args.save_params, exist_ok=True)
+            np.savez(cache, tasks=tasks_all,
+                     **{f: getattr(data, f) for f in SnapDataset._fields})
+            log(f"phase-1 data cached → {cache}")
+        aug = augment_pending(data, tasks_all, args.seed + 999)
+        data = SnapDataset.concat(data, aug)
+        log(f"dataset: {data.num_rows} rows (incl. {aug.num_rows} pending "
+            f"relabels) in {time.time() - t0:.0f}s")
 
     # ---- phase 2: BC -------------------------------------------------------
     model, params = init_cpv_grid(jax.random.PRNGKey(args.seed + 1), cfg,
@@ -558,17 +588,22 @@ def main():
         state, tasks = draw_handoff_batch(
             cfg, pool_objects, pool_agent, args.dagger_episodes, rng,
             task_weights=w / w.sum())
+        # alternate drivers: greedy+eps rounds correct the argmax limit
+        # cycles; sampled rounds cover the softmax execution's distribution
+        mode = "argmax_eps" if r % 2 == 0 else "sample"
         labeled, trows, sr = dagger_collect(
-            cfg, model, ts.params, state, tasks, args.seed + 300 + r)
+            cfg, model, ts.params, state, tasks, args.seed + 300 + r,
+            mode=mode)
         aug = augment_pending(labeled, trows, args.seed + 600 + r)
         data = SnapDataset.concat(data, labeled, aug)
-        log(f"dagger {r}: policy sr {sr:.3f}, +{labeled.num_rows} rows "
-            f"(+{aug.num_rows} relabels) → {data.num_rows} "
-            f"({time.time() - t0:.0f}s)")
+        log(f"dagger {r} [{mode}]: policy sr {sr:.3f}, "
+            f"+{labeled.num_rows} rows (+{aug.num_rows} relabels) → "
+            f"{data.num_rows} ({time.time() - t0:.0f}s)")
+        lr = 5e-4 if r < args.dagger_rounds // 2 else 3e-4
         model, ts, _ = dagger.bc_train_snaps(
             cfg, data, jax.random.PRNGKey(args.seed + 400 + r),
             model_and_state=(model, ts), epochs=args.dagger_epochs,
-            batch_size=args.batch, lr=5e-4, log=log)
+            batch_size=args.batch, lr=lr, log=log)
 
     if args.save_params:
         os.makedirs(args.save_params, exist_ok=True)
