@@ -72,6 +72,19 @@ class PixelPPOConfig(NamedTuple):
     conv2: int = 64
     hidden: int = 256
 
+    @classmethod
+    def throughput(cls, **overrides) -> "PixelPPOConfig":
+        """Wall-clock-leaning preset: 1 epoch, 8 minibatches, slimmer stem.
+
+        Mirrors ``FastPPOConfig.throughput()``: when wall-clock (not sample
+        count) is the scarce resource, cutting epochs/width buys more
+        updates per second at matched-or-better learning per second on the
+        single-task benchmark (docs/pixel_canonical.json records both
+        configs' measured rates and curves).
+        """
+        return cls(update_epochs=1, num_minibatches=8, conv1=16, conv2=32,
+                   hidden=192)._replace(**overrides)
+
     @property
     def as_fast(self) -> FastPPOConfig:
         """The shared-loop view (gae/optimizer/clipping knobs)."""
@@ -103,11 +116,19 @@ def render_grid_obs(cfg: EnvConfig, s: PackedState):
     HW = cfg.n_cells
     key = s.slot_key.astype(jnp.int32)  # [8, B]
     cells = jnp.arange(HW, dtype=jnp.int32)
-    on_cell = (key[:, :, None] == cells[None, None, :]).astype(bf16)  # [8,B,HW]
-    type_oh = jax.nn.one_hot(
-        s.slot_type.astype(jnp.int32) - 1, C.N_OBJECTS, dtype=bf16
-    )  # [8, B, 8ch]
-    obj = jnp.einsum("sbh,sbc->bhc", on_cell, type_oh)  # [B, HW, 8]
+    # Per-cell object CODE by fused compare-accumulate (one object per cell,
+    # core/slots.py invariant), then one-hot channels. The previous
+    # formulation materialized an [8, B, HW] bf16 on-cell tensor plus an
+    # einsum — 8x the bytes of the output and a size-8 MXU contraction;
+    # this chain is 8 fused elementwise passes over [B, HW] and one
+    # compare-expand, bit-identical results.
+    typ = s.slot_type.astype(jnp.int32)
+    code = jnp.zeros((B, HW), jnp.int32)
+    for i in range(C.N_OBJECTS):
+        code = code + typ[i][:, None] * (key[i][:, None] == cells[None, :])
+    obj = (
+        code[:, :, None] == jnp.arange(1, C.N_OBJECTS + 1)[None, None, :]
+    ).astype(bf16)  # [B, HW, 8]
     agent_key = (
         s.agent_r.astype(jnp.int32) * cfg.width + s.agent_c.astype(jnp.int32)
     )

@@ -2,7 +2,10 @@
 
 Delta-timed N vs N/2 updates via train_many_pixel (CLAUDE.md timing rules).
 
-  python tools/fast_pixel_bench.py [ENVS] [N_UPDATES]
+  python tools/fast_pixel_bench.py [ENVS] [N_UPDATES] [preset|default]
+
+Absolute timing over N-update dispatches (best of 3), like
+tools/fast_ppo_bench.py.
 """
 import os
 import sys
@@ -24,7 +27,9 @@ from gym_craftingworld_tpu import ray_config  # noqa: E402
 from gym_craftingworld_tpu.train import fast_pixel_ppo as fpx  # noqa: E402
 
 cfg = ray_config()
-ppo = fpx.PixelPPOConfig()
+ppo = (fpx.PixelPPOConfig.throughput()
+       if len(sys.argv) > 3 and sys.argv[3] == "preset"
+       else fpx.PixelPPOConfig())
 key = jax.random.PRNGKey(0)
 ts = fpx.init_pixel_train_state(key, cfg, ppo)
 env = fpx.fresh_packed_batch(cfg, jax.random.fold_in(key, 1), B)
