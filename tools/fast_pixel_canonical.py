@@ -86,40 +86,62 @@ def loop_rate(cfg, ppo):
 
 
 def main():
-    ppo = fpx.PixelPPOConfig()
+    default = fpx.PixelPPOConfig()
+    preset = fpx.PixelPPOConfig.throughput()
     cfg_single = dataclasses.replace(ray_config(), stacking=False)
     cfg_stacked = ray_config()
 
-    rate, ms = loop_rate(cfg_stacked, ppo)
-    print(f"full loop at 21x21 x {B}: {rate:.3e} env-steps/s "
-          f"({ms:.1f} ms/update)", flush=True)
+    rate_d, ms_d = loop_rate(cfg_stacked, default)
+    print(f"default full loop: {rate_d:.3e} env-steps/s ({ms_d:.1f} "
+          f"ms/update)", flush=True)
+    rate_p, ms_p = loop_rate(cfg_stacked, preset)
+    print(f"preset  full loop: {rate_p:.3e} env-steps/s ({ms_p:.1f} "
+          f"ms/update)", flush=True)
 
-    print("single-task canonical curve:", flush=True)
-    curve_single = run_curve(cfg_single, ppo, 0, UPDATES)
-    print("stacked canonical curve:", flush=True)
-    curve_stacked = run_curve(cfg_stacked, ppo, 0, UPDATES)
+    # matched WALL-CLOCK single-task curves: the preset gets however many
+    # updates fit in the default's budget
+    updates_p = int(round(UPDATES * ms_d / ms_p))
+    print(f"single-task canonical curve (default, {UPDATES} updates):",
+          flush=True)
+    curve_d = run_curve(cfg_single, default, 0, UPDATES)
+    print(f"single-task canonical curve (preset, {updates_p} updates = "
+          f"same wall-clock):", flush=True)
+    curve_p = run_curve(cfg_single, preset, 0, updates_p)
 
-    doc = {
-        "config": {"envs": B, "grid": "21x21", "updates": UPDATES,
-                   "policy": ("conv stem over the re-rendered (21,21,12) "
-                              "one-hot observation, "
-                              f"c{ppo.conv1}/c{ppo.conv2}/h{ppo.hidden}")},
-        "full_loop_env_steps_per_s": rate,
-        "ms_per_update": ms,
-        "single_task": {
-            "curve_success_per_step": curve_single,
-            "tail_mean": float(np.mean(curve_single[-50:])),
-        },
-        "stacked": {
-            "curve_success_per_step": curve_stacked,
-            "tail_mean": float(np.mean(curve_stacked[-50:])),
-            "note": ("flat PPO on stacked exact-match goals fails by design "
-                     "— the compositional-plan-vector paper's motivating "
-                     "observation; recorded for completeness"),
-        },
+    try:
+        with open(OUT) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        doc = {}
+    doc["config"] = {"envs": B, "grid": "21x21", "updates": UPDATES,
+                     "policy": "conv stem over the re-rendered (21,21,12) "
+                               "one-hot observation"}
+    doc["default"] = {
+        "policy": f"c{default.conv1}/c{default.conv2}/h{default.hidden}, "
+                  f"{default.update_epochs} ep x {default.num_minibatches} mb",
+        "full_loop_env_steps_per_s": rate_d,
+        "ms_per_update": ms_d,
+        "single_task_tail_mean": float(np.mean(curve_d[-50:])),
+        "single_task_curve": curve_d,
     }
+    doc["throughput_preset"] = {
+        "policy": f"c{preset.conv1}/c{preset.conv2}/h{preset.hidden}, "
+                  f"{preset.update_epochs} ep x {preset.num_minibatches} mb",
+        "full_loop_env_steps_per_s": rate_p,
+        "ms_per_update": ms_p,
+        "updates_at_matched_wall_clock": updates_p,
+        "single_task_tail_mean": float(np.mean(curve_p[-50:])),
+        "single_task_curve": curve_p,
+    }
+    doc.pop("full_loop_env_steps_per_s", None)
+    doc.pop("ms_per_update", None)
+    doc.pop("single_task", None)
+    doc.setdefault("stacked", {}).setdefault("note", (
+        "flat PPO on stacked exact-match goals fails by design — the "
+        "compositional-plan-vector paper's motivating observation; the "
+        "solved-canonical pixel result is the distilled_student section"))
     with open(OUT, "w") as f:
-        json.dump(doc, f, indent=2)
+        json.dump(doc, f, indent=2, sort_keys=True)
     print(f"wrote {OUT}")
 
 
