@@ -205,7 +205,14 @@ def build_start_states(cfg: EnvConfig, pool_objects, pool_agent, widx,
 
 def draw_handoff_batch(cfg, pool_objects, pool_agent, B, rng, max_preds=2,
                        task_weights=None):
-    """Random (world, pending task, rank-lower predecessor set) batch."""
+    """Random (world, pending task, rank-lower predecessor set) batch.
+
+    Predecessors are drawn uniformly half the time and from the ADJACENT
+    lower ranks half the time: the hard compositions are exactly
+    adjacent-rank pairs (GoToHouse with the tool-Move tasks just below it,
+    EatBread with MakeBread) because their handoff states involve mid-carry
+    non-latching bits — uniform pred draws under-sample them 7:1.
+    """
     P = len(pool_objects)
     widx = rng.randint(P, size=B)
     if task_weights is None:
@@ -215,10 +222,13 @@ def draw_handoff_batch(cfg, pool_objects, pool_agent, B, rng, max_preds=2,
     preds = []
     for b in range(B):
         lower = [t for t in range(C.N_TASKS) if _RANK[t] < _RANK[pending[b]]]
+        lower.sort(key=lambda t: _RANK[t])
         k = rng.randint(0, min(max_preds, len(lower)) + 1)
-        S = sorted(rng.choice(lower, k, replace=False).tolist() if k else [],
-                   key=lambda t: _RANK[t])
-        preds.append(S)
+        if k and rng.rand() < 0.5:
+            S = lower[-k:]  # the k adjacent lower ranks
+        else:
+            S = rng.choice(lower, k, replace=False).tolist() if k else []
+        preds.append(sorted(S, key=lambda t: _RANK[t]))
     return build_start_states(cfg, pool_objects, pool_agent, widx, pending,
                               preds, rng)
 
@@ -314,10 +324,12 @@ def collect_expert_from(cfg: EnvConfig, state: EnvState, tasks, seed,
 
 
 def augment_pending(snaps: SnapDataset, tasks, seed):
-    """Row copies with 1-2 random HIGHER-rank pending bits added to desired —
+    """Row copies with 1-2 HIGHER-rank pending bits added to desired —
     the relabel for 'act on the current task while later tasks are pending'
     (latching semantics make the expert's action independent of pending
-    bits; Move-origin avoidance is conservative either way)."""
+    bits; Move-origin avoidance is conservative either way). Half the rows
+    take the ADJACENT higher ranks (the under-sampled hard compositions —
+    see draw_handoff_batch), half draw uniformly."""
     rng = np.random.RandomState(seed)
     desired = snaps.desired.copy().astype(np.int64)
     keep = np.zeros(len(tasks), bool)
@@ -326,8 +338,13 @@ def augment_pending(snaps: SnapDataset, tasks, seed):
                   if _RANK[t] > _RANK[j] and not (desired[r] >> t) & 1]
         if not higher:
             continue
+        higher.sort(key=lambda t: _RANK[t])
         k = 1 + rng.randint(min(2, len(higher)))
-        for t in rng.choice(higher, k, replace=False):
+        if rng.rand() < 0.5:
+            chosen = higher[:k]  # the k adjacent higher ranks
+        else:
+            chosen = rng.choice(higher, k, replace=False)
+        for t in chosen:
             desired[r] |= 1 << int(t)
         keep[r] = True
     out = snaps._replace(desired=desired.astype(snaps.desired.dtype))
@@ -478,7 +495,7 @@ def main():
     ap.add_argument("--singles-per-task", type=int, default=512)
     ap.add_argument("--handoff-episodes", type=int, default=4096)
     ap.add_argument("--bc-epochs", type=int, default=16)
-    ap.add_argument("--dagger-rounds", type=int, default=8)
+    ap.add_argument("--dagger-rounds", type=int, default=12)
     ap.add_argument("--dagger-episodes", type=int, default=3072)
     ap.add_argument("--dagger-epochs", type=int, default=3)
     ap.add_argument("--cell-episodes", type=int, default=256)
@@ -582,9 +599,11 @@ def main():
         # weight pending-task draws toward the non-latching / resource-
         # conflict tasks where limit cycles concentrate
         w = np.ones(C.N_TASKS)
-        for t in (C.T_BUILD_HOUSE, C.T_GO_TO_HOUSE, C.T_MOVE_AXE,
+        for t in (C.T_BUILD_HOUSE, C.T_MOVE_AXE,
                   C.T_MOVE_HAMMER, C.T_MOVE_STICKS):
             w[t] = 3.0
+        w[C.T_GO_TO_HOUSE] = 5.0  # the weak-cell common factor
+        w[C.T_EAT_BREAD] = 2.0  # MakeBread+EatBread adjacency
         state, tasks = draw_handoff_batch(
             cfg, pool_objects, pool_agent, args.dagger_episodes, rng,
             task_weights=w / w.sum())
