@@ -188,8 +188,20 @@ def _rollout_collect(cfg: EnvConfig, driver_kind: str, model, params, keys,
     return cols, goal_cols, live, reward == cfg.max_steps
 
 
-def collect_round(cfg, kind, model, params, episodes, seed, eps, chunk=2048):
-    """Host-side: chunked rollouts → flat snapshot column dict + success."""
+def collect_round(cfg, kind, model, params, episodes, seed, eps, chunk=2048,
+                  fail_cap=None):
+    """Host-side: chunked rollouts → flat snapshot column dict + success.
+
+    ``fail_cap``: for UNSUCCESSFUL episodes keep at most this many frames
+    (uniform over time) and only *salvageable* ones (no undesired latched
+    achievement — frames past a fatal latch cannot reach exact match, and
+    a failed 300-step episode is mostly redundant limit-cycle orbit
+    frames; unfiltered they dominate the aggregate and drag training off
+    the success path — the same pathology tools/targeted_dagger.py solved
+    for the grid policy). Successful episodes keep every frame.
+    """
+    from gym_craftingworld_tpu.train.dagger import _LATCH_MASK
+
     parts = []
     succ = []
     for i in range(0, episodes, chunk):
@@ -199,6 +211,20 @@ def collect_round(cfg, kind, model, params, episodes, seed, eps, chunk=2048):
             cfg, kind, model, params, jax.random.key_data(keys),
             jax.random.PRNGKey(seed ^ (7 + i)), eps)
         live = np.asarray(live)  # [T, B]
+        success = np.asarray(success)
+        if fail_cap is not None:
+            ach = np.asarray(cols["achieved"]).astype(np.int64)
+            des = np.asarray(cols["desired"]).astype(np.int64)
+            salvage = (ach & ~des & _LATCH_MASK) == 0
+            keep = live & (success[None, :] | salvage)
+            rng = np.random.RandomState(seed + 13 * i)
+            for b in np.nonzero(~success)[0]:
+                rows = np.nonzero(keep[:, b])[0]
+                if len(rows) > fail_cap:
+                    drop = rng.choice(rows, len(rows) - fail_cap,
+                                      replace=False)
+                    keep[drop, b] = False
+            live = keep
         sel = live.reshape(-1)
         host = {k: np.asarray(v).reshape((-1,) + v.shape[2:])[sel]
                 for k, v in cols.items()}
@@ -209,7 +235,7 @@ def collect_round(cfg, kind, model, params, episodes, seed, eps, chunk=2048):
             ).reshape((-1,) + v.shape[1:])[sel]
             host[k] = vb
         parts.append(host)
-        succ.append(np.asarray(success))
+        succ.append(success)
     out = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
     return out, float(np.concatenate(succ).mean())
 
@@ -230,7 +256,7 @@ def _teacher_label(cfg, model, params, cols):
     return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
 
-def teacher_label(cfg, model, params, cols, chunk=8192):
+def teacher_label(cfg, model, params, cols, chunk=65536):
     n = len(cols["agent_key"])
     labels = np.zeros(n, np.int8)
     for i in range(0, n, chunk):
@@ -345,7 +371,9 @@ def main():
     ap.add_argument("--channels", type=int, default=96)
     ap.add_argument("--hidden", type=int, default=1536)
     ap.add_argument("--stem", type=int, default=64)
-    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--fail-cap", type=int, default=40,
+                    help="max frames kept per failed student episode")
     ap.add_argument("--episodes", type=int, default=8192)
     ap.add_argument("--epochs0", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=3)
@@ -362,7 +390,7 @@ def main():
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
         args = ap.parse_args([
-            "--smoke", "--rounds", "1", "--episodes", "8", "--epochs0", "1",
+            "--smoke", "--rounds", "2", "--episodes", "8", "--epochs0", "1",
             "--epochs", "1", "--batch", "32", "--eval-episodes", "8",
             "--final-eval-episodes", "8", "--channels", "8", "--hidden",
             "32", "--stem", "8", "--teacher-channels", "8",
@@ -389,40 +417,58 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
     ts = (s_params, tx.init(s_params))
 
-    data = None
+    core = None  # round-0 teacher-path rows: the known-good distribution
+    student_data = None  # filtered on-policy student rows
     history = []
     for r in range(args.rounds):
         t0 = time.time()
         if r == 0:
-            cols, sr = collect_round(
+            core, sr = collect_round(
                 cfg, "grid", t_model, t_params, args.episodes,
                 args.seed + 100, eps=0.02)
             log(f"round 0: teacher rollouts sr {sr:.3f}, "
-                f"{len(cols['agent_key'])} rows ({time.time() - t0:.0f}s)")
+                f"{len(core['agent_key'])} rows ({time.time() - t0:.0f}s)")
+            core["label"] = teacher_label(cfg, t_model, t_params, core)
         else:
             cols, sr = collect_round(
                 cfg, "pixel", s_model, ts[0], args.episodes,
-                args.seed + 100 * r, eps=0.02)
+                args.seed + 100 * r, eps=0.02, fail_cap=args.fail_cap)
             log(f"round {r}: STUDENT rollouts sr {sr:.3f}, "
-                f"{len(cols['agent_key'])} rows ({time.time() - t0:.0f}s)")
-        cols["label"] = teacher_label(cfg, t_model, t_params, cols)
-        data = cols if data is None else {
-            k: np.concatenate([data[k], cols[k]]) for k in cols}
-        if len(data["label"]) > args.max_rows:
-            keep = np.random.RandomState(args.seed + r).choice(
-                len(data["label"]), args.max_rows, replace=False)
-            data = {k: v[keep] for k, v in data.items()}
+                f"{len(cols['agent_key'])} filtered rows "
+                f"({time.time() - t0:.0f}s)")
+            cols["label"] = teacher_label(cfg, t_model, t_params, cols)
+            student_data = cols if student_data is None else {
+                k: np.concatenate([student_data[k], cols[k]]) for k in cols}
+            if len(student_data["label"]) > args.max_rows:
+                keep = np.random.RandomState(args.seed + r).choice(
+                    len(student_data["label"]), args.max_rows, replace=False)
+                student_data = {k: v[keep] for k, v in student_data.items()}
+        n0 = len(core["label"])
+        if student_data is None:
+            data = core
+            idx_all = np.arange(n0)
+        else:
+            data = {k: np.concatenate([core[k], student_data[k]])
+                    for k in core}
+            n1 = len(student_data["label"])
+            # 50/50 mixture batches (targeted_dagger recipe): upsample the
+            # teacher-path core so on-policy rows never exceed half the mass
+            reps = max(1, int(round(n1 / n0)))
+            idx_all = np.concatenate(
+                [np.tile(np.arange(n0), reps), n0 + np.arange(n1)])
         dev = {k: jnp.asarray(v) for k, v in data.items()
                if k in _IMG_COLS + ("label",)}
-        n = len(data["label"])
+        n = len(idx_all)
         epochs = args.epochs0 if r == 0 else args.epochs
         for ep in range(epochs):
-            perm = jax.random.permutation(
-                jax.random.PRNGKey(args.seed + 17 * r + ep), n)
+            order = np.random.RandomState(
+                args.seed + 17 * r + ep).permutation(n)
+            perm = jnp.asarray(idx_all[order], jnp.int32)
             ts, loss, acc = _student_epoch(cfg, s_model, args.batch, ts, dev,
                                            perm)
             log(f"  train ep {ep}: loss {float(loss):.4f} "
-                f"acc {float(acc):.4f} ({n} rows)")
+                f"acc {float(acc):.4f} ({n} mixture rows, core share "
+                f"{1 - (0 if student_data is None else n1 / n):.2f})")
         res = eval_student(cfg, s_model, ts[0], args.eval_episodes,
                            args.seed + 900 + r)
         log(f"round {r} eval: {res['success_rate']:.4f} over "
