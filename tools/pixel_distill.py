@@ -253,18 +253,26 @@ def _teacher_label(cfg, model, params, cols):
         cols["desired"], cols["achieved"],
     )
     logits, _ = model.apply(params, planes, extras)
-    return jnp.argmax(logits, axis=-1).astype(jnp.int8)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int8), logits
 
 
 def teacher_label(cfg, model, params, cols, chunk=65536):
+    """Teacher argmax labels AND full logits: distillation fits the SOFT
+    targets — hard argmax labels carry no margin information, so the
+    student develops its own near-ties whose greedy execution limit-cycles
+    (observed: 99% hard-label accuracy, 4% greedy episode success); the
+    teacher's logit margins are consistent along its trajectories
+    (97.2% greedy success — no cycles), and KL transfer carries them."""
     n = len(cols["agent_key"])
     labels = np.zeros(n, np.int8)
+    tlogits = np.zeros((n, 6), np.float16)
     for i in range(0, n, chunk):
         sl = {k: jnp.asarray(v[i:i + chunk]) for k, v in cols.items()
               if k not in ("goal_occ_key", "goal_occ_code", "goal_agent_key")}
-        labels[i:i + chunk] = np.asarray(
-            _teacher_label(cfg, model, params, sl))
-    return labels
+        lab, lg = _teacher_label(cfg, model, params, sl)
+        labels[i:i + chunk] = np.asarray(lab)
+        tlogits[i:i + chunk] = np.asarray(lg, np.float16)
+    return labels, tlogits
 
 
 _IMG_COLS = ("occ_key", "occ_code", "agent_key", "holding", "init_key",
@@ -286,11 +294,15 @@ def _student_epoch(cfg, model, batch_size, ts, data, perm):
         def loss_fn(p):
             logits, _ = model.apply(p, images)
             logp = jax.nn.log_softmax(logits)
-            ce = -jnp.take_along_axis(
+            # soft-target distillation: CE against the teacher's softmax
+            # (margins included), plus a small hard-label anchor
+            pt = jax.nn.softmax(mb["tlogits"].astype(jnp.float32))
+            soft = -(pt * logp).sum(-1).mean()
+            hard = -jnp.take_along_axis(
                 logp, mb["label"][:, None].astype(jnp.int32), axis=1
             ).mean()
             acc = (jnp.argmax(logits, -1) == mb["label"]).mean()
-            return ce, acc
+            return 0.9 * soft + 0.1 * hard, acc
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state)
@@ -375,8 +387,8 @@ def main():
     ap.add_argument("--fail-cap", type=int, default=40,
                     help="max frames kept per failed student episode")
     ap.add_argument("--episodes", type=int, default=8192)
-    ap.add_argument("--epochs0", type=int, default=4)
-    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--epochs0", type=int, default=6)
+    ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--eval-episodes", type=int, default=2048)
     ap.add_argument("--final-eval-episodes", type=int, default=8192)
@@ -428,7 +440,8 @@ def main():
                 args.seed + 100, eps=0.02)
             log(f"round 0: teacher rollouts sr {sr:.3f}, "
                 f"{len(core['agent_key'])} rows ({time.time() - t0:.0f}s)")
-            core["label"] = teacher_label(cfg, t_model, t_params, core)
+            core["label"], core["tlogits"] = teacher_label(
+                cfg, t_model, t_params, core)
         else:
             cols, sr = collect_round(
                 cfg, "pixel", s_model, ts[0], args.episodes,
@@ -436,7 +449,8 @@ def main():
             log(f"round {r}: STUDENT rollouts sr {sr:.3f}, "
                 f"{len(cols['agent_key'])} filtered rows "
                 f"({time.time() - t0:.0f}s)")
-            cols["label"] = teacher_label(cfg, t_model, t_params, cols)
+            cols["label"], cols["tlogits"] = teacher_label(
+                cfg, t_model, t_params, cols)
             student_data = cols if student_data is None else {
                 k: np.concatenate([student_data[k], cols[k]]) for k in cols}
             if len(student_data["label"]) > args.max_rows:
@@ -457,7 +471,7 @@ def main():
             idx_all = np.concatenate(
                 [np.tile(np.arange(n0), reps), n0 + np.arange(n1)])
         dev = {k: jnp.asarray(v) for k, v in data.items()
-               if k in _IMG_COLS + ("label",)}
+               if k in _IMG_COLS + ("label", "tlogits")}
         n = len(idx_all)
         epochs = args.epochs0 if r == 0 else args.epochs
         for ep in range(epochs):
