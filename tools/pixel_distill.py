@@ -64,6 +64,7 @@ from gym_craftingworld_tpu.models.grid_policy import (  # noqa: E402
     snap_columns_from_state,
 )
 from gym_craftingworld_tpu.render.raster import render_ray  # noqa: E402
+from gym_craftingworld_tpu.train import dagger as dagger_mod  # noqa: E402
 from gym_craftingworld_tpu.train.evaluate import summarize  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -294,15 +295,22 @@ def _student_epoch(cfg, model, batch_size, ts, data, perm):
         def loss_fn(p):
             logits, _ = model.apply(p, images)
             logp = jax.nn.log_softmax(logits)
-            # soft-target distillation: CE against the teacher's softmax
-            # (margins included), plus a small hard-label anchor
+            # core rows (soft=1): CE against the TEACHER's softmax — margin
+            # transfer on the teacher's own distribution. Student-visited
+            # rows (soft=0): hard CE against the scripted EXPERT's label —
+            # ground truth everywhere (the learned teacher's logits are
+            # meaningless off its own visitation distribution; labeling
+            # student states with them collapsed execution in run 3).
             pt = jax.nn.softmax(mb["tlogits"].astype(jnp.float32))
-            soft = -(pt * logp).sum(-1).mean()
-            hard = -jnp.take_along_axis(
+            soft_ce = -(pt * logp).sum(-1)
+            hard_ce = -jnp.take_along_axis(
                 logp, mb["label"][:, None].astype(jnp.int32), axis=1
-            ).mean()
+            )[:, 0]
+            flag = mb["soft"].astype(jnp.float32)
+            loss = (flag * (0.9 * soft_ce + 0.1 * hard_ce)
+                    + (1 - flag) * hard_ce).mean()
             acc = (jnp.argmax(logits, -1) == mb["label"]).mean()
-            return 0.9 * soft + 0.1 * hard, acc
+            return loss, acc
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state)
@@ -319,8 +327,8 @@ def _student_epoch(cfg, model, batch_size, ts, data, perm):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _eval_student(cfg, model, params, keys):
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def _eval_student(cfg, model, params, keys, mode="argmax"):
     state = core_reset(cfg, keys)
     B = keys.shape[0]
     zero = jnp.zeros(B, jnp.int32)
@@ -329,13 +337,19 @@ def _eval_student(cfg, model, params, keys):
         state.init_objects == C.AGENT_INIT_MARK, 0, state.init_objects
     )
     img_i = render_ray(init_nomark, state.init_agent, zero)
+    k0 = jax.random.wrap_key_data(keys[0])
 
     def body(carry):
-        st, done, reward = carry
+        st, done, reward, k = carry
+        k, k_t = jax.random.split(k)
         img_c = render_ray(st.objects, st.agent, st.holding)
         images = jnp.concatenate([img_c, img_g, img_i], axis=-1)
         logits, _ = model.apply(params, images)
-        action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if mode == "sample":
+            action = jax.random.categorical(k_t, logits, axis=-1).astype(
+                jnp.int32)
+        else:
+            action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         st2, res = jax.vmap(partial(_step_one, cfg))(st, action)
         st2 = jax.tree.map(
             lambda new, old: jnp.where(
@@ -345,11 +359,11 @@ def _eval_student(cfg, model, params, keys):
         )
         reward = jnp.where(done, reward, res.reward)
         done = done | res.done
-        return st2, done, reward
+        return st2, done, reward, k
 
-    state, done, reward = jax.lax.while_loop(
+    state, done, reward, _ = jax.lax.while_loop(
         lambda c: ~jnp.all(c[1]), body,
-        (state, jnp.zeros(B, bool), jnp.full(B, -1, jnp.int32)),
+        (state, jnp.zeros(B, bool), jnp.full(B, -1, jnp.int32), k0),
     )
     return {
         "success": reward == cfg.max_steps,
@@ -359,14 +373,16 @@ def _eval_student(cfg, model, params, keys):
     }
 
 
-def eval_student(cfg, model, params, episodes, seed, chunk=2048):
+def eval_student(cfg, model, params, episodes, seed, chunk=2048,
+                 mode="argmax"):
     outs = []
     for i in range(0, episodes, chunk):
         B = min(chunk, episodes - i)
         keys = jax.random.split(jax.random.PRNGKey(seed + 31 * i), B)
         outs.append(jax.tree.map(
             np.asarray,
-            _eval_student(cfg, model, params, jax.random.key_data(keys))))
+            _eval_student(cfg, model, params, jax.random.key_data(keys),
+                          mode)))
     return summarize({k: np.concatenate([o[k] for o in outs])
                       for k in outs[0]})
 
@@ -442,6 +458,7 @@ def main():
                 f"{len(core['agent_key'])} rows ({time.time() - t0:.0f}s)")
             core["label"], core["tlogits"] = teacher_label(
                 cfg, t_model, t_params, core)
+            core["soft"] = np.ones(len(core["label"]), np.float16)
         else:
             cols, sr = collect_round(
                 cfg, "pixel", s_model, ts[0], args.episodes,
@@ -449,8 +466,14 @@ def main():
             log(f"round {r}: STUDENT rollouts sr {sr:.3f}, "
                 f"{len(cols['agent_key'])} filtered rows "
                 f"({time.time() - t0:.0f}s)")
-            cols["label"], cols["tlogits"] = teacher_label(
-                cfg, t_model, t_params, cols)
+            t0l = time.time()
+            labeled = dagger_mod.expert_relabel(
+                cfg, {k: cols[k] for k in dagger_mod._COL_FIELDS})
+            cols["label"] = labeled.action
+            cols["tlogits"] = np.zeros((len(cols["label"]), 6), np.float16)
+            cols["soft"] = np.zeros(len(cols["label"]), np.float16)
+            log(f"  expert labels: {len(cols['label'])} rows "
+                f"({time.time() - t0l:.0f}s)")
             student_data = cols if student_data is None else {
                 k: np.concatenate([student_data[k], cols[k]]) for k in cols}
             if len(student_data["label"]) > args.max_rows:
@@ -471,7 +494,7 @@ def main():
             idx_all = np.concatenate(
                 [np.tile(np.arange(n0), reps), n0 + np.arange(n1)])
         dev = {k: jnp.asarray(v) for k, v in data.items()
-               if k in _IMG_COLS + ("label", "tlogits")}
+               if k in _IMG_COLS + ("label", "tlogits", "soft")}
         n = len(idx_all)
         epochs = args.epochs0 if r == 0 else args.epochs
         for ep in range(epochs):
@@ -485,12 +508,18 @@ def main():
                 f"{1 - (0 if student_data is None else n1 / n):.2f})")
         res = eval_student(cfg, s_model, ts[0], args.eval_episodes,
                            args.seed + 900 + r)
-        log(f"round {r} eval: {res['success_rate']:.4f} over "
-            f"{res['episodes']} eps")
-        history.append({"round": r, "rollout_sr": sr, **res})
+        res_s = eval_student(cfg, s_model, ts[0], args.eval_episodes,
+                             args.seed + 900 + r, mode="sample")
+        log(f"round {r} eval: {res['success_rate']:.4f} argmax / "
+            f"{res_s['success_rate']:.4f} sampled over {res['episodes']} eps")
+        history.append({"round": r, "rollout_sr": sr, **res,
+                        "success_rate_sampled": res_s["success_rate"]})
 
     res = eval_student(cfg, s_model, ts[0], args.final_eval_episodes, 31337)
-    log(f"FINAL student eval: {res['success_rate']:.4f} over "
+    res_sample = eval_student(cfg, s_model, ts[0], args.final_eval_episodes,
+                              31337, mode="sample")
+    log(f"FINAL student eval: {res['success_rate']:.4f} argmax / "
+        f"{res_sample['success_rate']:.4f} sampled over "
         f"{res['episodes']} eps")
 
     os.makedirs(args.save, exist_ok=True)
@@ -504,6 +533,7 @@ def main():
         doc = {}
     doc["distilled_student"] = {
         "final_eval": res,
+        "final_eval_sampled": res_sample,
         "history": history,
         "observation": (
             "images ONLY: current frame + imagined desired-goal frame + "
