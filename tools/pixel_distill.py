@@ -280,16 +280,61 @@ _IMG_COLS = ("occ_key", "occ_code", "agent_key", "holding", "init_key",
              "init_agent_key", "goal_occ_key", "goal_occ_code",
              "goal_agent_key")
 
+# action index remaps under vertical / horizontal world flips
+# (0 up, 1 right, 2 down, 3 left, 4 pickup, 5 drop)
+_PERM_H = np.array([2, 1, 0, 3, 4, 5], np.int32)
+_PERM_W = np.array([0, 3, 2, 1, 4, 5], np.int32)
+
+
+def _flip_key(cfg, key, fh, fw):
+    """Flip flat cell keys; out-of-grid pad values pass through."""
+    k = key.astype(jnp.int32)
+    valid = (k >= 0) & (k < cfg.n_cells)
+    r, c = k // cfg.width, k % cfg.width
+    shape = (-1,) + (1,) * (k.ndim - 1)
+    r = jnp.where(fh.reshape(shape), cfg.height - 1 - r, r)
+    c = jnp.where(fw.reshape(shape), cfg.width - 1 - c, c)
+    return jnp.where(valid, r * cfg.width + c, k).astype(key.dtype)
+
+
+def augment_flips(cfg, mb, key):
+    """D4-flip augmentation in COLUMN space (then re-rendered, so images
+    stay exactly on the render distribution): CraftingWorld dynamics are
+    symmetric under vertical/horizontal world flips with the move actions
+    relabeled — free 4x data diversity against the memorization gap
+    (held-out state agreement was 79.5% vs 99.7% train without it)."""
+    B = mb["label"].shape[0]
+    kh, kw = jax.random.split(key)
+    fh = jax.random.bernoulli(kh, 0.5, (B,))
+    fw = jax.random.bernoulli(kw, 0.5, (B,))
+    out = dict(mb)
+    for k in ("occ_key", "agent_key", "init_key", "init_agent_key",
+              "goal_occ_key", "goal_agent_key"):
+        out[k] = _flip_key(cfg, mb[k], fh, fw)
+    ph = jnp.asarray(_PERM_H)
+    pw = jnp.asarray(_PERM_W)
+    lab = mb["label"].astype(jnp.int32)
+    lab = jnp.where(fh, ph[lab], lab)
+    lab = jnp.where(fw, pw[lab], lab)
+    out["label"] = lab
+    lg = mb["tlogits"]
+    lg = jnp.where(fh[:, None], lg[:, ph], lg)
+    lg = jnp.where(fw[:, None], lg[:, pw], lg)
+    out["tlogits"] = lg
+    return out
+
 
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
-def _student_epoch(cfg, model, batch_size, ts, data, perm):
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
+def _student_epoch(cfg, model, batch_size, ts, data, perm, aug_key):
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(3e-4, weight_decay=1e-4))
     steps = perm.shape[0] // batch_size
 
     def minibatch(ts, i):
         params, opt_state = ts
         idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
         mb = jax.tree.map(lambda a: a[idx], data)
+        mb = augment_flips(cfg, mb, jax.random.fold_in(aug_key, i))
         images = images_from_cols(cfg, mb)
 
         def loss_fn(p):
@@ -313,7 +358,7 @@ def _student_epoch(cfg, model, batch_size, ts, data, perm):
             return loss, acc
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state)
+        updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), (loss, acc)
 
@@ -403,7 +448,8 @@ def main():
     ap.add_argument("--fail-cap", type=int, default=40,
                     help="max frames kept per failed student episode")
     ap.add_argument("--episodes", type=int, default=8192)
-    ap.add_argument("--epochs0", type=int, default=6)
+    ap.add_argument("--episodes0", type=int, default=24576)
+    ap.add_argument("--epochs0", type=int, default=10)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--eval-episodes", type=int, default=2048)
@@ -442,7 +488,8 @@ def main():
     s_model, s_params = init_student(
         jax.random.PRNGKey(args.seed), cfg, channels=args.channels,
         hidden=args.hidden, stem=args.stem)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(3e-4, weight_decay=1e-4))
     ts = (s_params, tx.init(s_params))
 
     core = None  # round-0 teacher-path rows: the known-good distribution
@@ -452,7 +499,7 @@ def main():
         t0 = time.time()
         if r == 0:
             core, sr = collect_round(
-                cfg, "grid", t_model, t_params, args.episodes,
+                cfg, "grid", t_model, t_params, args.episodes0,
                 args.seed + 100, eps=0.02)
             log(f"round 0: teacher rollouts sr {sr:.3f}, "
                 f"{len(core['agent_key'])} rows ({time.time() - t0:.0f}s)")
@@ -501,8 +548,9 @@ def main():
             order = np.random.RandomState(
                 args.seed + 17 * r + ep).permutation(n)
             perm = jnp.asarray(idx_all[order], jnp.int32)
-            ts, loss, acc = _student_epoch(cfg, s_model, args.batch, ts, dev,
-                                           perm)
+            ts, loss, acc = _student_epoch(
+                cfg, s_model, args.batch, ts, dev, perm,
+                jax.random.PRNGKey(args.seed + 1000 * r + ep))
             log(f"  train ep {ep}: loss {float(loss):.4f} "
                 f"acc {float(acc):.4f} ({n} mixture rows, core share "
                 f"{1 - (0 if student_data is None else n1 / n):.2f})")
