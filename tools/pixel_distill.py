@@ -459,6 +459,8 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--out", default=OUT)
     ap.add_argument("--save", default="runs/pixel_distill")
+    ap.add_argument("--init-student", default="",
+                    help="resume student params from a msgpack")
     args = ap.parse_args()
 
     if args.smoke:
@@ -488,6 +490,10 @@ def main():
     s_model, s_params = init_student(
         jax.random.PRNGKey(args.seed), cfg, channels=args.channels,
         hidden=args.hidden, stem=args.stem)
+    if args.init_student:
+        with open(args.init_student, "rb") as f:
+            s_params = serialization.from_bytes(s_params, f.read())
+        log(f"student resumed from {args.init_student}")
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(3e-4, weight_decay=1e-4))
     ts = (s_params, tx.init(s_params))
