@@ -53,7 +53,9 @@ from gym_craftingworld_tpu.core.reset import reset as core_reset  # noqa: E402
 from gym_craftingworld_tpu.core.step import _step_one  # noqa: E402
 from gym_craftingworld_tpu.models.grid_policy import (  # noqa: E402
     init_grid_policy,
+    planes_from_snaps,
     planes_from_state,
+    snap_columns_from_state,
 )
 from gym_craftingworld_tpu.train import dagger  # noqa: E402
 
@@ -67,7 +69,7 @@ def log(msg):
 
 class FTConfig(NamedTuple):
     rollout_steps: int = 128
-    num_minibatches: int = 8
+    num_minibatches: int = 16
     update_epochs: int = 1
     gamma: float = 0.999
     gae_lambda: float = 0.95
@@ -118,8 +120,10 @@ def train_step(cfg: EnvConfig, ft: FTConfig, model, ts: FTState, env, key,
             ),
             pool, st2,
         )
-        out = dict(planes=planes.astype(jnp.bfloat16),
-                   extras=extras.astype(jnp.bfloat16),
+        # store ~60-byte snapshot columns, NOT the 43 KB feature planes —
+        # planes are rebuilt per minibatch (the [T, B, H, W, 49] tensor is
+        # ~11 GB at production shapes and sank the compile)
+        out = dict(cols=snap_columns_from_state(cfg, st),
                    action=action, logp=logp, value=value, reward=reward,
                    done=res.done, raw=res.reward)
         return st2, out
@@ -146,8 +150,8 @@ def train_step(cfg: EnvConfig, ft: FTConfig, model, ts: FTState, env, key,
     T = ft.rollout_steps
     N = T * B
     flat = {
-        "planes": traj["planes"].reshape((N,) + traj["planes"].shape[2:]),
-        "extras": traj["extras"].reshape((N,) + traj["extras"].shape[2:]),
+        "cols": {k: v.reshape((N,) + v.shape[2:])
+                 for k, v in traj["cols"].items()},
         "action": traj["action"].reshape(N),
         "logp": traj["logp"].reshape(N),
         "value": traj["value"].reshape(N),
@@ -166,9 +170,14 @@ def train_step(cfg: EnvConfig, ft: FTConfig, model, ts: FTState, env, key,
             idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
             b = jax.tree.map(lambda a: a[idx], flat)
             adv_n = (b["adv"] - b["adv"].mean()) / (b["adv"].std() + 1e-8)
+            c = b["cols"]
+            planes, extras = planes_from_snaps(
+                cfg, c["occ_key"], c["occ_code"], c["init_key"],
+                c["init_agent_key"], c["agent_key"], c["holding"],
+                c["desired"], c["achieved"])
 
             def loss_fn(p):
-                logits, value = model.apply(p, b["planes"], b["extras"])
+                logits, value = model.apply(p, planes, extras)
                 logsm = jax.nn.log_softmax(logits)
                 logp = jnp.take_along_axis(
                     logsm, b["action"][:, None], axis=1)[:, 0]
