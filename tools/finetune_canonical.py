@@ -236,6 +236,7 @@ def main():
     ap.add_argument("--eval-episodes", type=int, default=4096)
     ap.add_argument("--final-eval-episodes", type=int, default=8192)
     ap.add_argument("--lr", type=float, default=2e-5)
+    ap.add_argument("--ent-coef", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--out", default=OUT)
@@ -262,7 +263,7 @@ def main():
             params = serialization.from_bytes(params, f.read())
         log(f"loaded {args.init_params}")
 
-    ft = FTConfig(lr=args.lr)
+    ft = FTConfig(lr=args.lr, ent_coef=args.ent_coef)
     ts = FTState(params, _tx(ft).init(params))
     env = core_reset(cfg, jax.random.key_data(
         jax.random.split(jax.random.PRNGKey(args.seed), args.envs)))
