@@ -71,6 +71,7 @@ class PixelPPOConfig(NamedTuple):
     conv1: int = 32
     conv2: int = 64
     hidden: int = 256
+    stride1: int = 2  # first-conv stride; the throughput preset uses 3
 
     @classmethod
     def throughput(cls, **overrides) -> "PixelPPOConfig":
@@ -83,7 +84,7 @@ class PixelPPOConfig(NamedTuple):
         configs' measured rates and curves).
         """
         return cls(update_epochs=1, num_minibatches=8, conv1=16, conv2=32,
-                   hidden=192)._replace(**overrides)
+                   hidden=192, stride1=3)._replace(**overrides)
 
     @property
     def as_fast(self) -> FastPPOConfig:
@@ -166,9 +167,10 @@ class ConvParams(NamedTuple):
 
 
 def _flat_dim(cfg: EnvConfig, ppo: PixelPPOConfig) -> int:
-    h = (cfg.height + 1) // 2
+    s1 = ppo.stride1
+    h = (cfg.height + s1 - 1) // s1
     h = (h + 1) // 2
-    w = (cfg.width + 1) // 2
+    w = (cfg.width + s1 - 1) // s1
     w = (w + 1) // 2
     return h * w * ppo.conv2
 
@@ -202,9 +204,9 @@ def _conv(x, k, stride):
     )
 
 
-def apply_pixel_policy(p: ConvParams, grid, bits):
+def apply_pixel_policy(p: ConvParams, grid, bits, stride1: int = 2):
     """(grid bf16[B,H,W,12], bits bf16[B,22]) → (logits f32[B,6], value f32[B])."""
-    x = jax.nn.relu(_conv(grid, p.k1, 2) + p.b1.astype(bf16))
+    x = jax.nn.relu(_conv(grid, p.k1, stride1) + p.b1.astype(bf16))
     x = jax.nn.relu(_conv(x, p.k2, 2) + p.b2.astype(bf16))
     x = x.reshape(x.shape[0], -1)
     x = jnp.concatenate([x, bits], axis=-1)
@@ -251,10 +253,11 @@ def init_pixel_train_state(key, cfg: EnvConfig,
     )
 
 
-def _policy_tb(p: ConvParams, cfg: EnvConfig, st: PackedState):
+def _policy_tb(p: ConvParams, cfg: EnvConfig, st: PackedState,
+               stride1: int = 2):
     """Policy on the lane-major packed state: logits [6, B], value [B]."""
     grid, bits = render_grid_obs(cfg, st)
-    logits, value = apply_pixel_policy(p, grid, bits)
+    logits, value = apply_pixel_policy(p, grid, bits, stride1)
     return logits.T, value
 
 
@@ -265,7 +268,7 @@ def _collect_pixel(cfg: EnvConfig, ppo: PixelPPOConfig, params: ConvParams,
     def body(carry, inp):
         st = carry
         k_act, t = inp
-        logits, value = _policy_tb(params, cfg, st)
+        logits, value = _policy_tb(params, cfg, st, ppo.stride1)
         action, log_prob = _sample_action(k_act, logits)
         st2, res = _step_p_unrolled(cfg, st, action.astype(i16))
         reward = jnp.where(
@@ -286,7 +289,8 @@ def _pixel_loss(ppo: PixelPPOConfig, params: ConvParams, cfg: EnvConfig,
                 batch):
     st, action, old_log_prob, old_value, adv, ret = batch
     grid, bits = render_grid_obs(cfg, st)
-    logits, value = apply_pixel_policy(params, grid, bits)  # [M, 6], [M]
+    logits, value = apply_pixel_policy(params, grid, bits,
+                                       ppo.stride1)  # [M, 6], [M]
     logsm = jax.nn.log_softmax(logits, axis=-1)
     log_prob = jnp.take_along_axis(logsm, action[:, None], axis=1)[:, 0]
     ratio = jnp.exp(log_prob - old_log_prob)
@@ -312,7 +316,7 @@ def train_step_pixel(cfg: EnvConfig, ppo: PixelPPOConfig,
     B = env.agent_r.shape[-1]
     pool = fresh_packed_batch(cfg, k_pool, 2 * B)
     env, traj = _collect_pixel(cfg, ppo, ts.params, env, pool, k_roll)
-    _, last_value = _policy_tb(ts.params, cfg, env)
+    _, last_value = _policy_tb(ts.params, cfg, env, ppo.stride1)
     adv, ret = _gae(ppo.as_fast, traj, last_value)
 
     T, Bb = traj.action.shape
