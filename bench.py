@@ -316,8 +316,8 @@ def main():
             # relay round trip is then included, biasing the value LOW
             retries = [0]
             med_full, times_full, state = _median_time(
-                roll, state, jax.random.fold_in(key, 5000), max(ITERS, 5),
-                retries)
+                roll, state, jax.random.fold_in(key, 5000), T,
+                max(ITERS, 5), retries)
             steps_per_s = B * T / med_full
             ests = sorted(B * T / t for t in times_full)
             spread = {

@@ -70,17 +70,21 @@ def fast_train_step_sharded(cfg: EnvConfig, fppo, mesh: Mesh):
     batch's lane-axis sharding must survive the step regardless of what the
     partitioner would choose. Returns ``step(ts, env, key)``.
 
-    The fused Pallas reset pool is forced off on a >1-device mesh: the raw
-    pallas_call is not shard_map-wrapped, so the partitioner would either
-    reject it or replicate the 2*B pool per device; the jax.random pool
-    partitions cleanly (same world/task distribution).
+    The fused Pallas reset pool AND the fused update kernel are forced off
+    on a >1-device mesh: both raw pallas_calls are not shard_map-wrapped
+    inside train_step_fast, so the partitioner would either reject them or
+    silently replicate their operands per device. The jax.random pool and
+    the autodiff update partition cleanly; the shard_map-wrapped per-device
+    form of the update kernel (grads + psum) is exercised separately in the
+    multichip dryrun (__graft_entry__.py).
     """
     from gym_craftingworld_tpu.train.fast_ppo import train_step_fast
 
     fused_pool = None if mesh.size == 1 else False
     rep = NamedSharding(mesh, P())
     return jax.jit(
-        partial(train_step_fast, cfg, fppo, fused_pool=fused_pool),
+        partial(train_step_fast, cfg, fppo, fused_pool=fused_pool,
+                fused_update=fused_pool),
         donate_argnums=(0,),
         out_shardings=(rep, packed_lane_sharding(mesh), rep, rep),
     )

@@ -446,18 +446,26 @@ def _loss_bm(fppo: FastPPOConfig, params: MLPParams, batch):
 
 def shuffle_block(T: int, B: int, num_minibatches: int) -> int:
     """Shuffle-block rows: the largest power-of-two multiple of 128 (≤ 2048)
-    that tiles every minibatch. 2048 matches the fused kernel's best row
-    tile, so one shuffle block = one kernel grid step and the permuted block
-    DMA sequence IS the shuffle (ops/fused_update.fused_minibatch_grads_indexed).
+    that tiles every minibatch AND leaves ≥ 8 blocks per minibatch, so each
+    minibatch mixes independently drawn (timestep, env) slabs rather than
+    collapsing into 1-2 contiguous tiles at small T*B. At the default config
+    (131k rows/minibatch) this still returns 2048 — the fused kernel's best
+    row tile, where one shuffle block = one kernel grid step and the permuted
+    block DMA sequence IS the shuffle
+    (ops/fused_update.fused_minibatch_grads_indexed). Tiny minibatches that
+    can't fit 8 blocks get the smallest tiling block (most mixing available).
     """
     rows_mb = (T * B) // num_minibatches
-    for blk in (2048, 1024, 512, 256, 128):
-        if rows_mb % blk == 0:
+    cands = [blk for blk in (2048, 1024, 512, 256, 128) if rows_mb % blk == 0]
+    if not cands:
+        raise ValueError(
+            f"rollout_steps*batch/num_minibatches ({rows_mb}) must be a "
+            f"multiple of 128 for block-shuffled minibatching"
+        )
+    for blk in cands:
+        if blk * 8 <= rows_mb:
             return blk
-    raise ValueError(
-        f"rollout_steps*batch/num_minibatches ({rows_mb}) must be a "
-        f"multiple of 128 for block-shuffled minibatching"
-    )
+    return cands[-1]
 
 
 def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
@@ -467,9 +475,11 @@ def _update_phase(fppo: FastPPOConfig, ts: FastTrainState, traj: "_Traj",
     Shuffle blocks are (timestep, env-span) tiles of :func:`shuffle_block`
     rows (2048 at production shapes — one fused-kernel grid step each). With
     envs iid and blocks drawn across all timesteps, minibatch mixing is
-    preserved at any block width; the coarser-than-128 width exists so the
-    fused kernel can pull each permuted block straight from the un-shuffled
-    feature slab (no per-epoch gather, no per-minibatch slice copies).
+    preserved as long as each minibatch receives several independently drawn
+    blocks — :func:`shuffle_block` guarantees ≥ 8 whenever the shapes allow.
+    The coarser-than-128 width exists so the fused kernel can pull each
+    permuted block straight from the un-shuffled feature slab (no per-epoch
+    gather, no per-minibatch slice copies).
 
     ``use_fused_kernel`` selects the fused Pallas gradient kernel
     (ops/fused_update.py) over autodiff of :func:`_loss_bm`. Default: on
@@ -556,15 +566,22 @@ def _fresh_pool(cfg: EnvConfig, key, n: int,
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,),
-         static_argnames=("fused_pool",))
+         static_argnames=("fused_pool", "fused_update"))
 def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
                     env: PackedState, key, *,
-                    fused_pool: bool | None = None):
+                    fused_pool: bool | None = None,
+                    fused_update: bool | None = None):
     """One PPO iteration on the packed engine. Returns (ts, env, key, metrics).
 
     ``fused_pool``: auto-reset pool source — None (default) auto-selects the
     fused Pallas generator on TPU; False forces the partitioner-safe
     jax.random path (required under a multi-device mesh, see _fresh_pool).
+    ``fused_update``: gradient path — None (default) auto-selects the fused
+    Pallas update kernel on TPU; False forces the autodiff path. Like the
+    pool kernel, the update kernel's raw pallas_call is not shard_map-wrapped
+    here, so multi-device wrappers must pass False (the shard_map-wrapped
+    per-device form lives in parallel/sharded_engine.py and the dryrun's
+    grad-psum path).
     """
     key, k_pool, k_roll, k_perm = jax.random.split(key, 4)
     B_env = env.agent_r.shape[-1]
@@ -581,7 +598,7 @@ def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
     # HBM speed (and the fused kernel skips even that — see _update_phase).
     shuffle_block(T, B, fppo.num_minibatches)  # raises if shapes don't tile
     params, opt_state, losses, auxes = _update_phase(
-        fppo, ts, traj, adv, ret, k_perm
+        fppo, ts, traj, adv, ret, k_perm, use_fused_kernel=fused_update
     )
 
     successes = (traj.raw_reward == cfg.max_steps).sum()
@@ -599,10 +616,11 @@ def train_step_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 4), donate_argnums=(2,),
-         static_argnames=("fused_pool",))
+         static_argnames=("fused_pool", "fused_update"))
 def train_many_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
                     env: PackedState, num_updates: int, key, *,
-                    fused_pool: bool | None = None):
+                    fused_pool: bool | None = None,
+                    fused_update: bool | None = None):
     """``num_updates`` fully-on-device PPO iterations in one dispatch.
 
     Metrics come back stacked [num_updates]; use this for throughput
@@ -612,7 +630,8 @@ def train_many_fast(cfg: EnvConfig, fppo: FastPPOConfig, ts: FastTrainState,
     def body(carry, _):
         ts, env, key = carry
         ts, env, key, metrics = train_step_fast(cfg, fppo, ts, env, key,
-                                                fused_pool=fused_pool)
+                                                fused_pool=fused_pool,
+                                                fused_update=fused_update)
         return (ts, env, key), metrics
 
     (ts, env, key), metrics = jax.lax.scan(

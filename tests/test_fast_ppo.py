@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gym_craftingworld_tpu import constants as C
 from gym_craftingworld_tpu import flat_config, ray_config
@@ -152,3 +153,21 @@ def test_throughput_preset_trains():
     ts, env, key, m = fp.train_step_fast(cfg, fppo, ts, env,
                                          jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_shuffle_block_keeps_minibatches_mixed():
+    """shuffle_block must give each minibatch >= 8 independently permuted
+    blocks whenever the shapes allow — a single contiguous (timestep,
+    env-span) slab per minibatch would correlate advantage normalization
+    over consecutive timesteps (round-5 review finding)."""
+    from gym_craftingworld_tpu.train.fast_ppo import shuffle_block
+
+    # production default: 64 * 16384 / 8 = 131072 rows/minibatch -> 2048
+    assert shuffle_block(64, 16384, 8) == 2048
+    # small config that used to collapse to one 2048-row slab per minibatch
+    blk = shuffle_block(64, 256, 8)  # 2048 rows/minibatch
+    assert blk * 8 <= 2048
+    # tiny minibatches fall back to the smallest tiling block
+    assert shuffle_block(16, 64, 2) == 128  # 512 rows/minibatch
+    with pytest.raises(ValueError):
+        shuffle_block(3, 5, 1)

@@ -21,7 +21,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
-    coordinator_address="localhost:59731",
+    coordinator_address="localhost:" + sys.argv[2],
     num_processes=2,
     process_id=proc_id,
     local_device_ids=list(range(4)),
@@ -45,12 +45,23 @@ print(f"RESULT {proc_id} {total}", flush=True)
 """
 
 
+def _free_port() -> int:
+    """Reserve an OS-assigned free port for the jax.distributed coordinator
+    (a fixed port collides with concurrent test runs on the same machine)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 @pytest.mark.skipif(os.environ.get("CI") == "true", reason="spawns processes")
 def test_two_process_mesh_rollout():
+    port = _free_port()
     env = dict(os.environ)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i)],
+            [sys.executable, "-c", _WORKER, str(i), str(port)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -112,7 +123,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
-    coordinator_address="localhost:59737",
+    coordinator_address="localhost:" + sys.argv[2],
     num_processes=2,
     process_id=proc_id,
     local_device_ids=list(range(4)),
@@ -219,11 +230,12 @@ def test_two_process_packed_scan_and_fast_ppo():
     execution bit-exactly, and the sharded fast-PPO train step must produce
     identical metrics on every process and match the single-process
     8-virtual-device mesh run."""
+    port = _free_port()
     env = dict(os.environ)
     cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER_ENGINES, str(i)],
+            [sys.executable, "-c", _WORKER_ENGINES, str(i), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=cwd,
         )

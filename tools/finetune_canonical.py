@@ -92,13 +92,18 @@ def _tx(cfg_ft: FTConfig):
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 7), donate_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(0, 1, 2, 6), donate_argnums=(3, 4))
 def train_step(cfg: EnvConfig, ft: FTConfig, model, ts: FTState, env, key,
-               update_idx, value_only: bool):
+               value_only: bool):
     """One PPO iteration of the GridPolicy on the real canonical env."""
     key, k_pool, k_roll, k_perm = jax.random.split(key, 4)
     B = env.objects.shape[0]
-    pool = core_reset(cfg, jax.random.key_data(jax.random.split(k_pool, B)))
+    # 2*B pool + per-timestep stride window (the fast_ppo._collect recipe):
+    # a slot-indexed B-pool would hand an env that finishes twice in one
+    # rollout the identical replacement world, duplicating correlated
+    # episodes in the PPO batch.
+    pool = core_reset(cfg,
+                      jax.random.key_data(jax.random.split(k_pool, 2 * B)))
 
     def body(carry, inp):
         st, t = carry, inp[0]
@@ -113,12 +118,15 @@ def train_step(cfg: EnvConfig, ft: FTConfig, model, ts: FTState, env, key,
         reward = jnp.where(
             res.reward == cfg.max_steps, 1.0, -1.0 / cfg.max_steps
         ).astype(jnp.float32)
-        # auto-reset: finished envs pull the pool entry at their own slot
+        # auto-reset from a stride-offset window of the 2*B pool
+        off = (t * jnp.int32(12007)) % jnp.int32(B)  # odd stride, full period
+        fresh = jax.tree.map(
+            lambda f: jax.lax.dynamic_slice_in_dim(f, off, B, axis=0), pool)
         st2 = jax.tree.map(
             lambda f, s: jnp.where(
                 res.done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
             ),
-            pool, st2,
+            fresh, st2,
         )
         # store ~60-byte snapshot columns, NOT the 43 KB feature planes —
         # planes are rebuilt per minibatch (the [T, B, H, W, 49] tensor is
@@ -281,7 +289,7 @@ def main():
     for u in range(1, args.updates + 1):
         value_only = u <= args.warmup
         ts, env, key, m = train_step(cfg, ft, model, ts, env, key,
-                                     jnp.int32(u), value_only)
+                                     value_only)
         if u % 5 == 0 or u <= 2:
             log(f"update {u}{' (value-only)' if value_only else ''}: "
                 f"train sr {float(m['success_rate']):.4f} "

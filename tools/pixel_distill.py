@@ -53,10 +53,7 @@ from gym_craftingworld_tpu import constants as C  # noqa: E402
 from gym_craftingworld_tpu.config import EnvConfig  # noqa: E402
 from gym_craftingworld_tpu.core.reset import reset as core_reset  # noqa: E402
 from gym_craftingworld_tpu.core.step import _step_one  # noqa: E402
-from gym_craftingworld_tpu.models.cnn import (  # noqa: E402
-    init_student,
-    student_images,
-)
+from gym_craftingworld_tpu.models.cnn import init_student  # noqa: E402
 from gym_craftingworld_tpu.models.grid_policy import (  # noqa: E402
     init_grid_policy,
     planes_from_snaps,
@@ -69,6 +66,14 @@ from gym_craftingworld_tpu.train.evaluate import summarize  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "docs", "pixel_canonical.json")
+
+
+def make_tx():
+    """Single source of truth for the student optimizer — the opt_state is
+    created in main() but consumed inside the jitted _student_epoch, so the
+    two must be structurally identical."""
+    return optax.chain(optax.clip_by_global_norm(1.0),
+                       optax.adamw(3e-4, weight_decay=1e-4))
 
 
 def log(msg):
@@ -326,8 +331,7 @@ def augment_flips(cfg, mb, key):
 
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
 def _student_epoch(cfg, model, batch_size, ts, data, perm, aug_key):
-    tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adamw(3e-4, weight_decay=1e-4))
+    tx = make_tx()
     steps = perm.shape[0] // batch_size
 
     def minibatch(ts, i):
@@ -494,8 +498,7 @@ def main():
         with open(args.init_student, "rb") as f:
             s_params = serialization.from_bytes(s_params, f.read())
         log(f"student resumed from {args.init_student}")
-    tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adamw(3e-4, weight_decay=1e-4))
+    tx = make_tx()
     ts = (s_params, tx.init(s_params))
 
     core = None  # round-0 teacher-path rows: the known-good distribution
